@@ -1,0 +1,81 @@
+"""SRUKF time update (motion prediction) — JAX, batched over sigma points.
+
+Reference semantics (SLAM.cpp:1343-1595):
+  * odometry pair -> control (rot1, trans, rot2) with
+    rot1 = atan2(dy, dx) - theta_prev, trans = |d|, rot2 = dtheta - rot1;
+  * control sqrt-noise Mt = diag(a1 r1^2 + a2 t^2, a3 t^2 + a4 r1^2 + a4 r2^2,
+    a1 r2^2 + a2 t^2) placed directly into the augmented sqrt block
+    (SLAM.cpp:1456-1458 — the reference uses these variance-like values as
+    sqrt entries; reproduced as-is);
+  * augmented state [x; 3 control-noise; 2 measurement-noise] (Na = D + 5);
+  * only the last-4 robot rows propagate: noise *subtracted* from the
+    control, then x += t cos(theta + r1), y += t sin(theta + r1),
+    theta += r1 + r2 (SLAM.cpp:1488-1530);
+  * new S = QR of sqrt(wi)-scaled deviations from chi_0 (SLAM.cpp:1539-1555).
+
+The propagated augmented sigma set is returned for reuse by the measurement
+predict and update (the reference keeps m_sigma across phases).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from .sigma import deviations, generate_sigma, ut_weights
+from .state import FilterState, PredictCache, replace
+
+
+def odometry_control(odo_prev: jnp.ndarray, odo_cur: jnp.ndarray):
+    """(x, y, theta) pair -> (rot1, trans, rot2) (SLAM.cpp:1446-1454)."""
+    d = odo_cur[:2] - odo_prev[:2]
+    rot1 = jnp.arctan2(d[1], d[0]) - odo_prev[2]
+    trans = jnp.sqrt(d[0] ** 2 + d[1] ** 2)
+    rot2 = odo_cur[2] - odo_prev[2] - rot1
+    return rot1, trans, rot2
+
+
+def motion_predict(state: FilterState, odo_prev: jnp.ndarray,
+                   odo_cur: jnp.ndarray, cfg: SlamConfig):
+    """One SRUKF time update. Returns (new_state, PredictCache)."""
+    dtype = state.x.dtype
+    D = cfg.state_dim
+    na = D + 5
+    w = ut_weights(na, cfg)
+
+    rot1, trans, rot2 = odometry_control(odo_prev, odo_cur)
+    mt = jnp.stack([
+        cfg.a1 * rot1 ** 2 + cfg.a2 * trans ** 2,
+        cfg.a3 * trans ** 2 + cfg.a4 * rot1 ** 2 + cfg.a4 * rot2 ** 2,
+        cfg.a1 * rot2 ** 2 + cfg.a2 * trans ** 2,
+    ]).astype(dtype)
+
+    # augmented mean + sqrt (expandMatrix, SLAM.cpp:1461-1462)
+    mu = jnp.concatenate([state.x, jnp.zeros(5, dtype)])
+    sr = jnp.zeros((na, na), dtype)
+    sr = sr.at[:D, :D].set(state.S)
+    sr = sr.at[jnp.arange(D, D + 3), jnp.arange(D, D + 3)].set(mt)
+    sr = sr.at[jnp.arange(D + 3, D + 5), jnp.arange(D + 3, D + 5)].set(
+        jnp.asarray(cfg.sigma_measure, dtype))
+
+    sig = generate_sigma(mu, sr, w.gamma)
+
+    # propagate robot rows (noise subtracted from control, SLAM.cpp:1497-1524)
+    r1 = rot1 - sig[D + 0]
+    tr = trans - sig[D + 1]
+    r2 = rot2 - sig[D + 2]
+    theta = sig[D - 1]
+    sig = sig.at[D - 4].add(tr * jnp.cos(theta + r1))
+    sig = sig.at[D - 3].add(tr * jnp.sin(theta + r1))
+    sig = sig.at[D - 1].add(r1 + r2)
+
+    x_new = sig[:D] @ w.mean_weights(dtype)
+    S_new = jnp.linalg.qr(deviations(sig[:D], w.wi_sr), mode="r")
+
+    new_state = replace(state, x=x_new, S=S_new)
+    cache = PredictCache(
+        sigma=sig,
+        sigma_pix=jnp.zeros((cfg.max_landmarks, 2, sig.shape[1]), dtype),
+        pred=jnp.zeros((cfg.max_landmarks, 2), dtype),
+    )
+    return new_state, cache

@@ -1,0 +1,173 @@
+"""Fixed-capacity SoA filter state (JAX pytrees).
+
+The reference grows/shrinks its state vector and sqrt covariance on every
+feature add/delete and keeps a parallel linked list of landmark records
+(SLAM.h:47-70, 271-273; SLAM.cpp:1260-1334, 2637-2706). On TPU every shape
+must be static under jit, so this engine allocates ``max_landmarks`` slots up
+front:
+
+  * state vector ``x``: (D,) with D = 6*M + 4, slot i at rows [6i, 6i+6),
+    robot pose in the LAST four rows — the reference's layout (SLAM.h:271);
+  * sqrt covariance ``S``: (D, D) upper triangular, P = S^T S;
+  * per-slot landmark table as struct-of-arrays.
+
+Invariant: an *inactive* slot i has x[6i:6i+6] = (0,0,0,0,0,1) (harmless
+defaults, rho=1 avoids division hazards) and S rows/cols equal to the unit
+diagonal, decoupled from every active row. All lifecycle events are masked
+writes + rank-structured QR updates that preserve this invariant, so adds
+and deletes never reshape anything.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+
+
+def _dc(cls):
+    """Register a frozen dataclass as a JAX pytree (all fields are leaves)."""
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_dc
+class LandmarkTable:
+    """Per-slot landmark records (reference PointsMap, SLAM.h:47-70)."""
+
+    active: jnp.ndarray       # (M,) bool
+    lid: jnp.ndarray          # (M,) int32 landmark IDs (0 = none)
+    is_loop: jnp.ndarray      # (M,) bool
+    n_predict: jnp.ndarray    # (M,) int32
+    n_match: jnp.ndarray      # (M,) int32
+    visible: jnp.ndarray      # (M,) bool
+    matched: jnp.ndarray      # (M,) bool
+    pred: jnp.ndarray         # (M, 2) predicted pixel (u, v)
+    match_px: jnp.ndarray     # (M, 2) matched pixel
+    si: jnp.ndarray           # (M, 2, 2) sqrt innovation
+    init_pixel: jnp.ndarray   # (M, 2)
+    init_trans: jnp.ndarray   # (M, 3) camera position at init
+    init_theta: jnp.ndarray   # (M,) camera yaw at init
+    init_patch: jnp.ndarray   # (M, P, P) float32, P = 2*hp_init + 1
+    xyz: jnp.ndarray          # (M, 3) Cartesian estimate
+
+
+@_dc
+class StoredTable:
+    """Snapshots for redirection / loop reuse (FeatureInfo, SLAM.h:73-99)."""
+
+    valid: jnp.ndarray        # (K,) bool
+    lid: jnp.ndarray          # (K,) int32
+    is_loop: jnp.ndarray      # (K,) bool
+    n_predict: jnp.ndarray    # (K,) int32
+    n_match: jnp.ndarray      # (K,) int32
+    state: jnp.ndarray        # (K, 6)
+    sr: jnp.ndarray           # (K, 6, 6)
+    init_pixel: jnp.ndarray   # (K, 2)
+    init_trans: jnp.ndarray   # (K, 3)
+    init_theta: jnp.ndarray   # (K,)
+    init_patch: jnp.ndarray   # (K, P, P) float32
+    xyz: jnp.ndarray          # (K, 3)
+
+
+@_dc
+class FilterState:
+    """Complete SRUKF state: one pytree, all static shapes."""
+
+    x: jnp.ndarray            # (D,)
+    S: jnp.ndarray            # (D, D)
+    lm: LandmarkTable
+    stored: StoredTable
+    next_id: jnp.ndarray      # () int32
+    frame: jnp.ndarray        # () int32 — m_frame.counter
+
+
+@_dc
+class PredictCache:
+    """Propagated sigma points reused across motion -> measurement -> update
+    (the reference keeps m_sigma / m_sigma_allPixel / m_allPredictSet across
+    phases, SLAM.cpp:1463, 1615-1691, 2020-2038)."""
+
+    sigma: jnp.ndarray        # (Na, 2Na+1) augmented, motion-propagated
+    sigma_pix: jnp.ndarray    # (M, 2, 2Na+1) projected pixels per slot
+    pred: jnp.ndarray         # (M, 2) weighted-mean pixels
+
+
+def inactive_feature_defaults(dtype) -> jnp.ndarray:
+    return jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, 1.0], dtype=dtype)
+
+
+def init_state(cfg: SlamConfig, theta0: float | jnp.ndarray = 0.0,
+               max_stored: int = 64) -> FilterState:
+    """Fresh 'robot only' state (initializeParameters, SLAM.cpp:226-246)."""
+    dtype = jnp.dtype(cfg.dtype)
+    M = cfg.max_landmarks
+    D = cfg.state_dim
+    P = 2 * cfg.hp_init + 1
+    K = max_stored
+
+    x = jnp.tile(inactive_feature_defaults(dtype), M)
+    x = jnp.concatenate([x, jnp.zeros(4, dtype)])
+    x = x.at[-1].set(jnp.asarray(theta0, dtype))
+    s_diag = jnp.ones(D, dtype)
+    s_diag = s_diag.at[-4:].set(
+        jnp.array([cfg.sigma_x, cfg.sigma_y, cfg.sigma_z, cfg.sigma_theta],
+                  dtype))
+    S = jnp.diag(s_diag)
+
+    lm = LandmarkTable(
+        active=jnp.zeros(M, bool),
+        lid=jnp.zeros(M, jnp.int32),
+        is_loop=jnp.zeros(M, bool),
+        n_predict=jnp.zeros(M, jnp.int32),
+        n_match=jnp.zeros(M, jnp.int32),
+        visible=jnp.zeros(M, bool),
+        matched=jnp.zeros(M, bool),
+        pred=jnp.zeros((M, 2), dtype),
+        match_px=jnp.zeros((M, 2), dtype),
+        si=jnp.tile(jnp.eye(2, dtype=dtype), (M, 1, 1)),
+        init_pixel=jnp.zeros((M, 2), dtype),
+        init_trans=jnp.zeros((M, 3), dtype),
+        init_theta=jnp.zeros(M, dtype),
+        init_patch=jnp.zeros((M, P, P), jnp.float32),
+        xyz=jnp.zeros((M, 3), dtype),
+    )
+    stored = StoredTable(
+        valid=jnp.zeros(K, bool),
+        lid=jnp.zeros(K, jnp.int32),
+        is_loop=jnp.zeros(K, bool),
+        n_predict=jnp.zeros(K, jnp.int32),
+        n_match=jnp.zeros(K, jnp.int32),
+        state=jnp.zeros((K, 6), dtype),
+        sr=jnp.zeros((K, 6, 6), dtype),
+        init_pixel=jnp.zeros((K, 2), dtype),
+        init_trans=jnp.zeros((K, 3), dtype),
+        init_theta=jnp.zeros(K, dtype),
+        init_patch=jnp.zeros((K, P, P), jnp.float32),
+        xyz=jnp.zeros((K, 3), dtype),
+    )
+    return FilterState(
+        x=x, S=S, lm=lm, stored=stored,
+        next_id=jnp.asarray(1, jnp.int32),
+        frame=jnp.asarray(1, jnp.int32),
+    )
+
+
+def robot_pose(state: FilterState) -> jnp.ndarray:
+    """(x, y, z, theta) — the last four state rows (SLAM.cpp:1184)."""
+    return state.x[-4:]
+
+
+def feature_states(state: FilterState, M: int) -> jnp.ndarray:
+    """(M, 6) view of the landmark blocks."""
+    return state.x[: 6 * M].reshape(M, 6)
+
+
+def replace(obj: Any, **kw) -> Any:
+    return dataclasses.replace(obj, **kw)

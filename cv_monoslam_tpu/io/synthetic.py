@@ -1,0 +1,168 @@
+"""Synthetic ceiling-world generator (NumPy).
+
+The reference ships no dataset (only a robot photo), so parity and benchmarks
+are measured on a synthetic world: a textured ceiling plane at height
+``deep`` above a ground-driving robot with an upward camera, rendered through
+*exactly* the reference camera model (including its axis conventions — see
+:mod:`cv_monoslam_tpu.geometry.camera`), plus scripted trajectories and
+odometry with optional noise in the reference text format.
+
+This module is deliberately NumPy-only and independent from the JAX geometry
+code so that tests cross-check the two implementations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+from ..config import CameraConfig, SlamConfig
+from .dataset import ImageSequence, OdometryTrack, preprocess_odometry
+
+
+@dataclasses.dataclass
+class SyntheticWorld:
+    cam: CameraConfig
+    deep: float                  # ceiling height above camera plane (m)
+    blobs: np.ndarray            # (K, 4): wx, wy, sigma, amplitude
+    base: float = 40.0
+
+    def texture(self, wx: np.ndarray, wy: np.ndarray) -> np.ndarray:
+        """Intensity of the ceiling at world (wx, wy), Gaussian-blob field.
+
+        Evaluated in row chunks with per-chunk blob culling (blob support is
+        4*sigma <= 0.3 m) so a 640x480 frame renders in well under a second.
+        """
+        out = np.full(wx.shape, self.base, dtype=np.float64)
+        flat_x = wx.reshape(-1)
+        flat_y = wy.reshape(-1)
+        flat_o = out.reshape(-1)
+        chunk = 64 * 640
+        margin = 0.5
+        for s in range(0, flat_x.size, chunk):
+            fx = flat_x[s : s + chunk]
+            fy = flat_y[s : s + chunk]
+            sel = (
+                (self.blobs[:, 0] >= fx.min() - margin)
+                & (self.blobs[:, 0] <= fx.max() + margin)
+                & (self.blobs[:, 1] >= fy.min() - margin)
+                & (self.blobs[:, 1] <= fy.max() + margin)
+            )
+            blobs = self.blobs[sel]
+            if not len(blobs):
+                continue
+            d2 = ((fx[:, None] - blobs[:, 0]) ** 2
+                  + (fy[:, None] - blobs[:, 1]) ** 2)
+            flat_o[s : s + chunk] += np.exp(
+                -d2 / (2.0 * blobs[:, 2] ** 2)
+            ) @ blobs[:, 3]
+        return np.clip(out, 0.0, 255.0)
+
+    def render(self, cam_xy: np.ndarray, theta: float) -> np.ndarray:
+        """Render one grayscale frame from robot pose (x, y, theta).
+
+        Inverts the projection chain of the measurement model: pixel ->
+        undistort -> camera ray (v pairs with camera X via cx/f1, u with
+        camera Y via cy/f2) -> world ray via R_wc(theta) -> intersect the
+        z=deep plane -> sample texture.
+        """
+        cam = self.cam
+        u, v = np.meshgrid(
+            np.arange(cam.width, dtype=np.float64),
+            np.arange(cam.height, dtype=np.float64),
+            indexing="xy",
+        )
+        # closed-form undistort (SLAM.cpp:3224-3236 semantics)
+        xd = (u - cam.cx) * cam.dx
+        yd = (v - cam.cy) * cam.dy
+        rd2 = xd * xd + yd * yd
+        d = 1.0 + cam.k1 * rd2 + cam.k2 * rd2 * rd2
+        uu = cam.cx + xd * d / cam.dx
+        vu = cam.cy + yd * d / cam.dy
+        # camera ray (reference image2camera, SLAM.cpp:3360-3363)
+        X = (vu - cam.cx) / cam.f1
+        Y = (uu - cam.cy) / cam.f2
+        c, s = np.cos(theta), np.sin(theta)
+        wx_dir = c * X - s * Y
+        wy_dir = s * X + c * Y
+        t = self.deep  # Z component of the ray is 1 -> scale = deep / 1
+        wx = cam_xy[0] + t * wx_dir
+        wy = cam_xy[1] + t * wy_dir
+        return self.texture(wx, wy).astype(np.float32)
+
+
+def make_world(seed: int = 0, extent: float = 12.0, blob_density: float = 18.0,
+               cfg: SlamConfig | None = None) -> SyntheticWorld:
+    """Random blob ceiling over [-extent/2, extent/2]^2, ~blob_density per m^2."""
+    cfg = cfg or SlamConfig()
+    rng = np.random.default_rng(seed)
+    n = int(blob_density * extent * extent)
+    pos = rng.uniform(-extent / 2, extent / 2, size=(n, 2))
+    sig = rng.uniform(0.03, 0.07, size=(n, 1))
+    amp = rng.uniform(60.0, 200.0, size=(n, 1))
+    return SyntheticWorld(cam=cfg.camera, deep=cfg.deep,
+                          blobs=np.concatenate([pos, sig, amp], axis=1))
+
+
+def make_trajectory(kind: str = "arc", n: int = 60, step: float = 0.03,
+                    turn_rate: float = 0.008) -> Tuple[np.ndarray, np.ndarray]:
+    """Ground-truth robot path: xy (n, 2), theta (n,)."""
+    theta = np.zeros(n)
+    xy = np.zeros((n, 2))
+    for i in range(1, n):
+        if kind == "straight":
+            dth = 0.0
+        elif kind == "arc":
+            dth = turn_rate
+        elif kind == "square":
+            # sharp 90-degree turns every n//4 steps -> exercises redirection
+            dth = (np.pi / 2) if (i % max(n // 4, 1) == 0) else 0.0
+        else:
+            raise ValueError(kind)
+        theta[i] = theta[i - 1] + dth
+        xy[i] = xy[i - 1] + step * np.array(
+            [np.cos(theta[i]), np.sin(theta[i])]
+        )
+    return xy, theta
+
+
+def make_sequence(
+    world: SyntheticWorld,
+    xy: np.ndarray,
+    theta: np.ndarray,
+    odo_noise_xy: float = 0.0,
+    odo_noise_theta: float = 0.0,
+    seed: int = 1,
+    cfg: SlamConfig | None = None,
+):
+    """Render frames + build odometry for a trajectory.
+
+    Returns (ImageSequence, OdometryTrack, gt_xy, gt_theta). Odometry noise is
+    a random walk added to the true pose (the filter sees the noisy track; ATE
+    is evaluated against the true one).
+    """
+    cfg = cfg or SlamConfig()
+    rng = np.random.default_rng(seed)
+    n = len(theta)
+    frames = np.stack(
+        [world.render(xy[i], theta[i]) for i in range(n)], axis=0
+    )
+    walk_xy = np.cumsum(rng.normal(0, odo_noise_xy, size=(n, 2)), axis=0)
+    walk_th = np.cumsum(rng.normal(0, odo_noise_theta, size=n), axis=0)
+    raw = np.concatenate(
+        [
+            np.arange(n, dtype=np.float64)[:, None],
+            xy + walk_xy,
+            (theta + walk_th)[:, None],
+        ],
+        axis=1,
+    )
+    track = preprocess_odometry(
+        raw,
+        min_step_xy=cfg.min_step_xy,
+        min_step_theta=cfg.min_step_theta,
+    )
+    seq = ImageSequence(frames=frames, frame_ids=np.arange(n))
+    return seq, track, xy, theta
