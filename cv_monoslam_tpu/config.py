@@ -108,6 +108,11 @@ class SlamConfig:
     a2: float = 8.0
     a3: float = 8.0
     a4: float = 8.0
+    #: cap on the Mt sqrt-noise entries. The reference places the
+    #: variance-like values a_i * u^2 directly into the sqrt block
+    #: (SLAM.cpp:1456-1458), which explodes quadratically on jittery
+    #: odometry; the cap bounds the per-step process noise.
+    motion_noise_cap: float = 0.2
     sigma_x: float = 0.02        # initial robot sqrt-cov diag (SLAM.cpp:243-246)
     sigma_y: float = 0.02
     sigma_z: float = 0.005

@@ -72,6 +72,9 @@ def measurement_predict(state: FilterState, cache: PredictCache,
 
     dev = w.wi_sr * (pix[:, :, 1:] - pix[:, :, :1])     # (M, 2, 2Na)
     gram = jnp.einsum("mis,mjs->mij", dev, dev)
+    # independent per-landmark measurement noise: Pyy = geo + sigma^2 I
+    # (equals the reference's augmented-Qt contribution, SLAM.cpp:1462)
+    gram = gram + (cfg.sigma_measure ** 2) * jnp.eye(2, dtype=dtype)
     si = chol2x2_upper(gram)
 
     lm_new = replace(

@@ -49,14 +49,19 @@ def motion_predict(state: FilterState, odo_prev: jnp.ndarray,
         cfg.a3 * trans ** 2 + cfg.a4 * rot1 ** 2 + cfg.a4 * rot2 ** 2,
         cfg.a1 * rot2 ** 2 + cfg.a2 * trans ** 2,
     ]).astype(dtype)
+    mt = jnp.minimum(mt, cfg.motion_noise_cap)
 
-    # augmented mean + sqrt (expandMatrix, SLAM.cpp:1461-1462)
+    # augmented mean + sqrt (expandMatrix, SLAM.cpp:1461-1462).
+    # The reference also augments 2 shared measurement-noise dims (Qt,
+    # SLAM.cpp:1462); shared noise makes every landmark's pixel-deviation
+    # column correlated, which degenerates the joint update (and is
+    # statistically wrong — pixel noise is independent per landmark), so
+    # the noise dims are kept at zero here and independent noise enters the
+    # innovation Gram (measurement.py) and the update QR (update.py).
     mu = jnp.concatenate([state.x, jnp.zeros(5, dtype)])
     sr = jnp.zeros((na, na), dtype)
     sr = sr.at[:D, :D].set(state.S)
     sr = sr.at[jnp.arange(D, D + 3), jnp.arange(D, D + 3)].set(mt)
-    sr = sr.at[jnp.arange(D + 3, D + 5), jnp.arange(D + 3, D + 5)].set(
-        jnp.asarray(cfg.sigma_measure, dtype))
 
     sig = generate_sigma(mu, sr, w.gamma)
 

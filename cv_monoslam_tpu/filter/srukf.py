@@ -1,0 +1,107 @@
+"""Per-frame SRUKF pipeline orchestration (CSLAM::SLAM, SLAM.cpp:87-112).
+
+One jit-able pure function ``slam_step(state, frame) -> (state, outputs)``
+running the reference's fixed stage order:
+
+    predictMotion -> predictMeasurement -> dataAssociation -> KalmanUpdate
+    -> updateFeaturesInformation -> [addFeatures if matches < min_num]
+
+Redirection frames (|dtheta| > 45 deg odometry steps, SLAM.cpp:1354-1428)
+take a separate branch: snapshot -> robot-only reset -> re-detect with loop
+re-insertion. The reference consumes two odometry rows inside one call;
+here the redirect branch handles frame t and the next scan step processes
+frame t+1 normally — the same net computation on a clean scan structure.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..frontend.detect import detect_corners, select_new_corners
+from ..frontend.matching import data_association
+from .lifecycle import (integrate_features, project_stored, readd_stored,
+                        redirect_reset, update_features)
+from .measurement import measurement_predict
+from .motion import motion_predict
+from .state import FilterState, replace
+from .update import kalman_update
+
+
+def add_features(state: FilterState, image: jnp.ndarray, cfg: SlamConfig,
+                 is_redirect: bool = False,
+                 should_add: jnp.ndarray | bool = True) -> FilterState:
+    """Detection + filtering + integration (addFeatures, SLAM.cpp:552-562).
+
+    ``is_redirect`` is static (separate trace per branch); ``should_add``
+    is a traced bool masking the whole operation.
+    """
+    lm = state.lm
+    avoid = jnp.concatenate([lm.pred, lm.match_px], axis=0)
+    avoid_valid = jnp.concatenate(
+        [lm.active & lm.visible, lm.active & lm.matched])
+    pix, kept, resp = detect_corners(image, cfg, avoid, avoid_valid)
+
+    if is_redirect:
+        # loop-point detection: corners near a stored feature's projected
+        # pixel re-add that feature instead of creating a new one
+        # (SLAM.cpp:618-638, 699-729)
+        sp = project_stored(state, cfg)                      # (K, 2)
+        sp_ok = state.stored.valid & jnp.any(sp != 0.0, axis=-1)
+        d2 = jnp.sum((pix[:, None, :] - sp[None, :, :]) ** 2, axis=-1)
+        near = (d2 < cfg.min_dist2) & sp_ok[None, :] & kept[:, None]
+        readd_mask = jnp.any(near, axis=0)                   # per stored
+        kept = kept & ~jnp.any(near, axis=1)                 # corner used
+        state = readd_stored(state, readd_mask, cfg)
+
+    n_free = jnp.sum(~state.lm.active)
+    corners, valid = select_new_corners(pix, kept, resp,
+                                        cfg.max_new_per_frame, n_free)
+    valid = valid & jnp.asarray(should_add)
+    return integrate_features(state, image, corners, valid, cfg)
+
+
+def initialize(state: FilterState, image: jnp.ndarray,
+               cfg: SlamConfig) -> FilterState:
+    """Initial map construction (initializeParameters -> addFeatures,
+    SLAM.cpp:348-350)."""
+    return add_features(state, image, cfg, is_redirect=False,
+                        should_add=True)
+
+
+def slam_step(state: FilterState, image: jnp.ndarray, odo_prev: jnp.ndarray,
+              odo_cur: jnp.ndarray, redirect: jnp.ndarray,
+              cfg: SlamConfig):
+    """One frame. Returns (new_state, outputs dict)."""
+
+    def normal(state):
+        state, cache = motion_predict(state, odo_prev, odo_cur, cfg)
+        state, cache = measurement_predict(state, cache, cfg)
+        state = data_association(state, image, cfg)
+        state = kalman_update(state, cache, cfg)
+        state = update_features(state, cfg)
+        n_matched = jnp.sum(state.lm.matched & state.lm.active)
+        state = add_features(state, image, cfg,
+                             should_add=n_matched < cfg.min_num)
+        return state
+
+    def redirected(state):
+        state = redirect_reset(state, odo_cur[2], cfg)
+        state = add_features(state, image, cfg, is_redirect=True,
+                             should_add=True)
+        return state
+
+    state = jax.lax.cond(redirect, redirected, normal, state)
+    state = replace(state, frame=state.frame + 1)
+    lm = state.lm
+    outputs = dict(
+        pose=state.x[-4:],
+        pose_sqrt_cov=jnp.sqrt(jnp.maximum(
+            jnp.einsum("ij,ij->j", state.S[:, -4:], state.S[:, -4:]), 0.0)),
+        n_map=jnp.sum(lm.active),
+        n_visible=jnp.sum(lm.visible & lm.active),
+        n_matched=jnp.sum(lm.matched & lm.active),
+        redirected=redirect,
+    )
+    return state, outputs

@@ -103,59 +103,64 @@ def inactive_feature_defaults(dtype) -> jnp.ndarray:
     return jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, 1.0], dtype=dtype)
 
 
-def init_state(cfg: SlamConfig, theta0: float | jnp.ndarray = 0.0,
+def init_state(cfg: SlamConfig, theta0: float = 0.0,
                max_stored: int = 64) -> FilterState:
-    """Fresh 'robot only' state (initializeParameters, SLAM.cpp:226-246)."""
-    dtype = jnp.dtype(cfg.dtype)
+    """Fresh 'robot only' state (initializeParameters, SLAM.cpp:226-246).
+
+    Built entirely in NumPy: on backends where every eager op triggers a
+    device compile (e.g. tunneled TPU), constructing the state with jnp ops
+    costs minutes. NumPy leaves convert at the first jit boundary.
+    """
+    import numpy as np
+
+    dtype = np.dtype(cfg.dtype)
     M = cfg.max_landmarks
     D = cfg.state_dim
     P = 2 * cfg.hp_init + 1
     K = max_stored
 
-    x = jnp.tile(inactive_feature_defaults(dtype), M)
-    x = jnp.concatenate([x, jnp.zeros(4, dtype)])
-    x = x.at[-1].set(jnp.asarray(theta0, dtype))
-    s_diag = jnp.ones(D, dtype)
-    s_diag = s_diag.at[-4:].set(
-        jnp.array([cfg.sigma_x, cfg.sigma_y, cfg.sigma_z, cfg.sigma_theta],
-                  dtype))
-    S = jnp.diag(s_diag)
+    x = np.tile(np.array([0, 0, 0, 0, 0, 1], dtype), M)
+    x = np.concatenate([x, np.zeros(4, dtype)])
+    x[-1] = theta0
+    s_diag = np.ones(D, dtype)
+    s_diag[-4:] = [cfg.sigma_x, cfg.sigma_y, cfg.sigma_z, cfg.sigma_theta]
+    S = np.diag(s_diag)
 
     lm = LandmarkTable(
-        active=jnp.zeros(M, bool),
-        lid=jnp.zeros(M, jnp.int32),
-        is_loop=jnp.zeros(M, bool),
-        n_predict=jnp.zeros(M, jnp.int32),
-        n_match=jnp.zeros(M, jnp.int32),
-        visible=jnp.zeros(M, bool),
-        matched=jnp.zeros(M, bool),
-        pred=jnp.zeros((M, 2), dtype),
-        match_px=jnp.zeros((M, 2), dtype),
-        si=jnp.tile(jnp.eye(2, dtype=dtype), (M, 1, 1)),
-        init_pixel=jnp.zeros((M, 2), dtype),
-        init_trans=jnp.zeros((M, 3), dtype),
-        init_theta=jnp.zeros(M, dtype),
-        init_patch=jnp.zeros((M, P, P), jnp.float32),
-        xyz=jnp.zeros((M, 3), dtype),
+        active=np.zeros(M, bool),
+        lid=np.zeros(M, np.int32),
+        is_loop=np.zeros(M, bool),
+        n_predict=np.zeros(M, np.int32),
+        n_match=np.zeros(M, np.int32),
+        visible=np.zeros(M, bool),
+        matched=np.zeros(M, bool),
+        pred=np.zeros((M, 2), dtype),
+        match_px=np.zeros((M, 2), dtype),
+        si=np.tile(np.eye(2, dtype=dtype), (M, 1, 1)),
+        init_pixel=np.zeros((M, 2), dtype),
+        init_trans=np.zeros((M, 3), dtype),
+        init_theta=np.zeros(M, dtype),
+        init_patch=np.zeros((M, P, P), np.float32),
+        xyz=np.zeros((M, 3), dtype),
     )
     stored = StoredTable(
-        valid=jnp.zeros(K, bool),
-        lid=jnp.zeros(K, jnp.int32),
-        is_loop=jnp.zeros(K, bool),
-        n_predict=jnp.zeros(K, jnp.int32),
-        n_match=jnp.zeros(K, jnp.int32),
-        state=jnp.zeros((K, 6), dtype),
-        sr=jnp.zeros((K, 6, 6), dtype),
-        init_pixel=jnp.zeros((K, 2), dtype),
-        init_trans=jnp.zeros((K, 3), dtype),
-        init_theta=jnp.zeros(K, dtype),
-        init_patch=jnp.zeros((K, P, P), jnp.float32),
-        xyz=jnp.zeros((K, 3), dtype),
+        valid=np.zeros(K, bool),
+        lid=np.zeros(K, np.int32),
+        is_loop=np.zeros(K, bool),
+        n_predict=np.zeros(K, np.int32),
+        n_match=np.zeros(K, np.int32),
+        state=np.zeros((K, 6), dtype),
+        sr=np.zeros((K, 6, 6), dtype),
+        init_pixel=np.zeros((K, 2), dtype),
+        init_trans=np.zeros((K, 3), dtype),
+        init_theta=np.zeros(K, dtype),
+        init_patch=np.zeros((K, P, P), np.float32),
+        xyz=np.zeros((K, 3), dtype),
     )
     return FilterState(
         x=x, S=S, lm=lm, stored=stored,
-        next_id=jnp.asarray(1, jnp.int32),
-        frame=jnp.asarray(1, jnp.int32),
+        next_id=np.int32(1),
+        frame=np.int32(1),
     )
 
 

@@ -50,7 +50,10 @@ def kalman_update(state: FilterState, cache: PredictCache, cfg: SlamConfig):
     cmask = jnp.repeat(matched, 2)                          # (2M,)
     Z = jnp.where(cmask[None, :], Z, 0.0)
 
-    pad = jnp.diag(jnp.where(cmask, 0.0, 1.0).astype(dtype))  # (2M, 2M)
+    # matched columns get an independent sigma_measure noise row (additive
+    # pixel noise, uncorrelated across landmarks); unmatched columns get a
+    # unit dummy row
+    pad = jnp.diag(jnp.where(cmask, cfg.sigma_measure, 1.0).astype(dtype))
     top = jnp.concatenate([Z, A], axis=1)
     bot = jnp.concatenate([pad, jnp.zeros((2 * M, D), dtype)], axis=1)
     R = jnp.linalg.qr(jnp.concatenate([top, bot], axis=0), mode="r")

@@ -386,19 +386,23 @@ class OracleSLAM:
         rot1 = np.arctan2(dy_, dx_) - th[k - 1]
         trans = np.hypot(dx_, dy_)
         rot2 = th[k] - th[k - 1] - rot1
-        mt = np.diag([
+        mt = np.diag(np.minimum([
             cfg.a1 * rot1**2 + cfg.a2 * trans**2,
             cfg.a3 * trans**2 + cfg.a4 * rot1**2 + cfg.a4 * rot2**2,
             cfg.a1 * rot2**2 + cfg.a2 * trans**2,
-        ])  # placed directly into the sqrt block, as the reference does
-        qt = np.eye(2) * cfg.sigma_measure
+        ], cfg.motion_noise_cap))  # values-as-sqrt like the reference,
+        # capped (see config.motion_noise_cap)
+        # NOTE: the reference also augments 2 *shared* measurement-noise
+        # dims (Qt, SLAM.cpp:1462). Shared noise correlates every
+        # landmark's pixel deviations, which both degenerates the joint
+        # update and mismodels per-landmark pixel noise; independent noise
+        # is added in the innovation sqrt and update instead.
         na = dim + 5
         wm0, wi, wi_sr, gamma = self.weights(na)
         mu = np.concatenate([self.x, np.zeros(5)])
         sr = np.zeros((na, na))
         sr[:dim, :dim] = self.S
         sr[dim : dim + 3, dim : dim + 3] = mt
-        sr[dim + 3 :, dim + 3 :] = qt
         sig = self.gen_sigma(mu, sr, gamma)
         # propagate robot rows (SLAM.cpp:1488-1530)
         r1 = rot1 - sig[dim + 0]
@@ -486,7 +490,9 @@ class OracleSLAM:
                 lm.pred = np.array([px, py])
                 dev = wi_sr * (pix[2 * j : 2 * j + 2, 1:]
                                - pix[2 * j : 2 * j + 2, :1]).T
-                lm.si = qr_r(dev)
+                # independent measurement noise: Pyy = geo + sigma^2 I
+                lm.si = qr_r(np.concatenate(
+                    [dev, np.eye(2) * self.cfg.sigma_measure], axis=0))
             else:
                 lm.visible = False
                 lm.matched = False
@@ -625,7 +631,11 @@ class OracleSLAM:
             [self.landmarks[j].match - self.landmarks[j].pred for j in midx]
         )
         m2 = len(rows)
-        R = qr_r(np.concatenate([Z, A], axis=1))
+        top = np.concatenate([Z, A], axis=1)
+        noise = np.concatenate(
+            [np.eye(m2) * self.cfg.sigma_measure,
+             np.zeros((m2, A.shape[1]))], axis=1)
+        R = qr_r(np.concatenate([top, noise], axis=0))
         ryy = R[:m2, :m2]
         ryx = R[:m2, m2:]
         rxx = R[m2:, m2:]

@@ -1,0 +1,54 @@
+"""Device mesh + sharding layout for SPMD SLAM (SURVEY.md §2.3).
+
+The reference is single-threaded; scaling here is new capability. The
+natural SPMD axis of this workload is the *landmark* axis: projections,
+patch warps, NCC search, and innovation columns are independent per
+landmark (the engine's batched replacements for SLAM.cpp:1634-1682,
+1804-1906, 1960-1984). The landmark table shards along M; the state vector
+and sqrt factor stay replicated (their QRs are the sync points); images are
+replicated. XLA GSPMD inserts the all-gathers where per-landmark results
+meet the replicated QR.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SlamConfig
+from ..filter.state import FilterState, LandmarkTable, StoredTable
+
+
+MAP_AXIS = "map"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (MAP_AXIS,))
+
+
+def state_shardings(mesh: Mesh, cfg: SlamConfig) -> FilterState:
+    """Sharding pytree matching FilterState: landmark table sharded on M,
+    state vector / sqrt factor / stored table replicated."""
+    rep = NamedSharding(mesh, P())
+    shard0 = NamedSharding(mesh, P(MAP_AXIS))
+
+    def lm_shard(ndim):
+        return NamedSharding(mesh, P(*((MAP_AXIS,) + (None,) * (ndim - 1))))
+
+    lm = LandmarkTable(
+        active=shard0, lid=shard0, is_loop=shard0, n_predict=shard0,
+        n_match=shard0, visible=shard0, matched=shard0,
+        pred=lm_shard(2), match_px=lm_shard(2), si=lm_shard(3),
+        init_pixel=lm_shard(2), init_trans=lm_shard(2), init_theta=shard0,
+        init_patch=lm_shard(3), xyz=lm_shard(2),
+    )
+    stored = StoredTable(
+        valid=rep, lid=rep, is_loop=rep, n_predict=rep, n_match=rep,
+        state=rep, sr=rep, init_pixel=rep, init_trans=rep, init_theta=rep,
+        init_patch=rep, xyz=rep,
+    )
+    return FilterState(x=rep, S=rep, lm=lm, stored=stored, next_id=rep,
+                       frame=rep)

@@ -26,7 +26,8 @@ CACHE = os.path.join(os.path.dirname(__file__), "..", ".cache", "seq")
 
 def get_sequence(kind: str, n: int, seed: int, noise: float = 0.0):
     os.makedirs(CACHE, exist_ok=True)
-    key = hashlib.md5(f"{kind}-{n}-{seed}-{noise}-v2".encode()).hexdigest()[:16]
+    key = hashlib.md5(
+        f"{kind}-{n}-{seed}-{noise}-v3".encode()).hexdigest()[:16]
     path = os.path.join(CACHE, key + ".npz")
     cfg = SlamConfig()
     if os.path.exists(path):
@@ -37,18 +38,38 @@ def get_sequence(kind: str, n: int, seed: int, noise: float = 0.0):
         return ImageSequence(frames=frames), track, gt_xy, gt_th
     world = make_world(seed=seed, cfg=cfg)
     xy, th = make_trajectory(kind, n=n, step=0.03)
-    seq, track, gt_xy, gt_th = make_sequence(
-        world, xy, th, odo_noise_xy=noise, odo_noise_theta=noise / 3,
-        seed=seed + 1, cfg=cfg)
-    rng = np.random.default_rng(seed + 1)
-    walk_xy = np.cumsum(rng.normal(0, noise, size=(n, 2)), axis=0)
-    walk_th = np.cumsum(rng.normal(0, noise / 3, size=n), axis=0)
+    seq, _, gt_xy, gt_th = make_sequence(world, xy, th, cfg=cfg)
+    odo_xy, odo_th = noisy_odometry(
+        xy, th, np.random.default_rng(seed + 1), sigma_rot=noise)
     raw = np.concatenate([
-        np.arange(n, dtype=np.float64)[:, None], xy + walk_xy,
-        (th + walk_th)[:, None]], axis=1)
+        np.arange(n, dtype=np.float64)[:, None], odo_xy,
+        odo_th[:, None]], axis=1)
     np.savez_compressed(path, frames=seq._frames, raw=raw, gt_xy=gt_xy,
                         gt_th=gt_th)
+    track = preprocess_odometry(raw, min_step_xy=cfg.min_step_xy,
+                                min_step_theta=cfg.min_step_theta)
     return seq, track, gt_xy, gt_th
+
+
+def noisy_odometry(gt_xy, gt_th, rng, sigma_rot=0.0, sigma_trans_rel=0.02):
+    """Control-space odometry noise: heading random-walk + relative step
+    noise, integrated — smooth self-consistent drift like real encoders
+    (position-jitter models make atan2-derived headings explode)."""
+    n = len(gt_th)
+    odo_xy = np.zeros_like(gt_xy)
+    odo_th = gt_th.copy()
+    odo_xy[0] = gt_xy[0]
+    phi = 0.0
+    for k in range(1, n):
+        d = gt_xy[k] - gt_xy[k - 1]
+        phi += rng.normal(0, sigma_rot)
+        c, s = np.cos(phi), np.sin(phi)
+        dn = np.array([c * d[0] - s * d[1], s * d[0] + c * d[1]])
+        if sigma_rot > 0:
+            dn = dn * (1 + rng.normal(0, sigma_trans_rel))
+        odo_xy[k] = odo_xy[k - 1] + dn
+        odo_th[k] = gt_th[k] + phi
+    return odo_xy, odo_th
 
 
 def run_one(kind, n, seed, noise, **overrides):

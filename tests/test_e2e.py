@@ -1,0 +1,45 @@
+"""End-to-end engine runs on synthetic ceiling sequences (SURVEY.md §4.4)."""
+
+import numpy as np
+import pytest
+
+from cv_monoslam_tpu.config import SlamConfig
+from cv_monoslam_tpu.api import SlamSession
+
+
+@pytest.mark.slow
+def test_engine_tracks_arc(tiny_sequence):
+    seq, track, gt_xy, gt_th = tiny_sequence
+    cfg = SlamConfig(max_landmarks=16, max_new_per_frame=8,
+                     max_detections=32, dtype="float64")
+    s = SlamSession(cfg, seq, track)
+    s.run()
+    assert len(s.records) == len(track) - 1
+    ate = s.ate(gt_xy)
+    assert ate < 0.1, f"ATE {ate}"
+    # filter tracked features throughout
+    assert all(r.n_map >= 3 for r in s.records)
+    assert np.mean([r.n_matched for r in s.records[1:]]) >= 3
+
+
+@pytest.mark.slow
+def test_engine_square_redirection(tmp_path):
+    """Sharp 90-degree turns exercise the redirection/submap path
+    (SLAM.cpp:1354-1428)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from experiment import get_sequence
+
+    seq, track, gt_xy, gt_th = get_sequence("square", 16, 0)
+    assert track.redirect.any(), "fixture should contain a redirect frame"
+    cfg = SlamConfig(max_landmarks=16, max_new_per_frame=8,
+                     max_detections=32, dtype="float64")
+    s = SlamSession(cfg, seq, track)
+    s.run()
+    recs = [r for r in s.records if r.redirected]
+    assert recs, "redirection branch should have fired"
+    # after a redirect the map is rebuilt and tracking continues
+    after = [r for r in s.records if r.frame > recs[0].frame]
+    assert after and after[-1].n_map >= 3
+    assert s.ate(gt_xy) < 0.3
