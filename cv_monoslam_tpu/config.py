@@ -141,9 +141,14 @@ class SlamConfig:
     rho_init_mode: str = "ceiling"
 
     # ---- filter update strategy (new) ----
-    #: "batched" = single joint QR-Schur update over all matches (TPU-native);
-    #: "sequential" = reference-faithful per-landmark 2D updates.
+    #: "batched" = single joint QR-Schur update over all matches;
+    #: "gram" = same posterior via MXU matmuls + Cholesky (TPU fast path);
+    #: "sequential" = reference-faithful per-landmark 2D updates with true
+    #: hyperbolic rank-2 downdates.
     update_mode: str = "batched"
+    #: sqrt-factor R computation: "householder" = XLA QR (GSL-faithful,
+    #: SLAM.cpp:2330-2353); "cholqr2" = MXU-dominant CholeskyQR2.
+    qr_mode: str = "householder"
     #: compute dtype of the filter core. float64 only on CPU; TPU uses float32.
     dtype: str = "float32"
 

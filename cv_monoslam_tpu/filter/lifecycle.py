@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..geometry import camera as cam_mod
 from ..geometry import transforms as tf
+from ..ops import qr_r
 from .sigma import deviations, generate_sigma, ut_weights
 from .state import (FilterState, LandmarkTable, StoredTable,
                     inactive_feature_defaults, replace)
@@ -73,7 +74,7 @@ def fold_delete(x: jnp.ndarray, S: jnp.ndarray, delete: jnp.ndarray,
         [jnp.repeat(delete, 6), jnp.zeros(4, bool)])          # (D,)
     T = jnp.where(row_mask[None, :], 0.0, S)
     E = jnp.diag(row_mask.astype(dtype))
-    S_new = jnp.linalg.qr(jnp.concatenate([T, E], axis=0), mode="r")
+    S_new = qr_r(jnp.concatenate([T, E], axis=0), cfg.qr_mode)
     defaults = jnp.concatenate(
         [jnp.tile(inactive_feature_defaults(dtype), M), jnp.zeros(4, dtype)])
     x_new = jnp.where(row_mask, defaults, x)
@@ -234,7 +235,7 @@ def integrate_features(state: FilterState, image: jnp.ndarray,
         jnp.where(vmask6[:, None], ang_vals, sig_out[ang_rows]))
 
     x_new = sig_out @ w.mean_weights(dtype)
-    S_new = jnp.linalg.qr(deviations(sig_out, w.wi_sr), mode="r")
+    S_new = qr_r(deviations(sig_out, w.wi_sr), cfg.qr_mode)
 
     # landmark records (SLAM.cpp:891-946)
     lm = state.lm

@@ -22,6 +22,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import SlamConfig
+from ..ops import qr_r
 from .sigma import deviations, generate_sigma, ut_weights
 from .state import FilterState, PredictCache, replace
 
@@ -75,7 +76,7 @@ def motion_predict(state: FilterState, odo_prev: jnp.ndarray,
     sig = sig.at[D - 1].add(r1 + r2)
 
     x_new = sig[:D] @ w.mean_weights(dtype)
-    S_new = jnp.linalg.qr(deviations(sig[:D], w.wi_sr), mode="r")
+    S_new = qr_r(deviations(sig[:D], w.wi_sr), cfg.qr_mode)
 
     new_state = replace(state, x=x_new, S=S_new)
     cache = PredictCache(

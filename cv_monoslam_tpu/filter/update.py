@@ -1,26 +1,36 @@
-"""SRUKF measurement update — joint masked QR-Schur (TPU-native).
+"""SRUKF measurement update — three strategies, all static-shape jit.
 
-This replaces the reference's sequential per-landmark 2D updates
-(SLAM.cpp:2048-2104) — whose stale sigma-point reuse makes successive gains
-overcount information, forcing its Gill-Murray-Wright covariance repair
-(SLAM.cpp:2106-2327) — with the single batched update BASELINE.json calls
-for. All matched landmarks are processed in ONE QR:
+The reference applies **sequential per-landmark 2D updates** with stale
+sigma-point reuse (SLAM.cpp:2048-2104) followed by a recompose-refactor
+"Cholesky downdate" (SLAM.cpp:2106-2327). This module offers:
 
-    A  = sqrt(wi) (chi_i - chi_0)^T            state deviations  (2Na, D)
-    Z  = sqrt(wi) (z_i  - z_0 )^T              pixel deviations  (2Na, 2M)
-    M  = [[Z_masked, A], [Pad, 0]]             (2Na + 2M, 2M + D)
-    R  = qr(M) = [[Ryy, Ryx], [0, Rxx]]
-    dx = Ryx^T Ryy^-T nu_masked                gain applied to innovation
-    S' = Rxx                                   exact Schur complement
+``update_mode="batched"`` (joint QR-Schur, the accuracy reference):
+    One QR over the stacked innovation/state deviation matrix
 
-Masking: unmatched slots get zeroed Z columns plus a unit "Pad" row of their
-own (rows 2Na..2Na+2M), making them independent dummy measurements with zero
-innovation — exact no-ops that keep every shape static. Matched slots get a
-zero Pad row. The dummy block is diagonal and decoupled, so Ryy stays
-invertible for any match pattern.
+        M  = [[Z_masked, A], [Pad, 0]]          (2Na + 2M, 2M + D)
+        R  = qr(M) = [[Ryy, Ryx], [0, Rxx]]
+        dx = Ryx^T Ryy^-T nu_masked
+        S' = Rxx                                 exact Schur complement
+
+    Unmatched slots get zeroed Z columns plus a unit Pad row — independent
+    dummy measurements with zero innovation, exact no-ops that keep every
+    shape static while Ryy stays invertible for any match pattern.
+
+``update_mode="gram"`` (MXU-dominant, same math through normal equations):
+    Pyy = Z^T Z + R_noise (2M x 2M), Pxy = A^T Z (D x 2M) — two matmuls on
+    the systolic array; W = Ryy^-T Pxy^T; dx = W^T Ryy^-T nu;
+    S' = chol(S^T S - W^T W). Identical posterior up to roundoff, a large
+    constant factor faster on TPU than Householder QR of the stacked matrix.
+
+``update_mode="sequential"`` (reference-faithful): per-landmark 2D gain +
+    true rank-2 hyperbolic downdate (ops.linalg.chol_downdate) in the
+    reference's slot order, reusing stale sigma deviations exactly as
+    SLAM.cpp:2063-2095 does.
 
 P' = S'^T S' equals the posterior of the joint Gaussian defined by the
-sigma-point Gram — always PSD, no downdate, no PD repair needed.
+sigma-point Gram — always PSD in the batched/gram paths; the sequential
+path inherits the reference's information double-counting (that is the
+point of offering it: golden-trace parity).
 """
 
 from __future__ import annotations
@@ -29,44 +39,116 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
+from ..ops import chol_downdate, gram, tri_solve
+from ..ops.linalg import _chol_psd
 from .sigma import ut_weights
 from .state import FilterState, PredictCache, replace
 
 
-def kalman_update(state: FilterState, cache: PredictCache, cfg: SlamConfig):
-    dtype = state.x.dtype
+def _deviation_blocks(state: FilterState, cache: PredictCache,
+                      cfg: SlamConfig):
+    """Shared preamble: masked innovation/state deviation blocks."""
     D = cfg.state_dim
     M = cfg.max_landmarks
     w = ut_weights(D + 5, cfg)
     lm = state.lm
 
-    matched = lm.matched                                    # (M,)
-    any_match = jnp.any(matched)
-
     A = w.wi_sr * (cache.sigma[:D, 1:] - cache.sigma[:D, :1]).T  # (2Na, D)
-    # pixel deviations per slot -> (2Na, 2M), columns [u_0, v_0, u_1, ...]
     dz = w.wi_sr * (cache.sigma_pix[:, :, 1:] - cache.sigma_pix[:, :, :1])
-    Z = dz.reshape(2 * M, -1).T                             # (2Na, 2M)
-    cmask = jnp.repeat(matched, 2)                          # (2M,)
+    Z = dz.reshape(2 * M, -1).T                                  # (2Na, 2M)
+    cmask = jnp.repeat(lm.matched, 2)                            # (2M,)
     Z = jnp.where(cmask[None, :], Z, 0.0)
+    nu = (lm.match_px - lm.pred).reshape(-1)                     # (2M,)
+    nu = jnp.where(cmask, nu, 0.0)
+    return A, Z, nu, cmask
 
-    # matched columns get an independent sigma_measure noise row (additive
-    # pixel noise, uncorrelated across landmarks); unmatched columns get a
-    # unit dummy row
+
+def _update_batched(state: FilterState, cache: PredictCache,
+                    cfg: SlamConfig) -> FilterState:
+    dtype = state.x.dtype
+    D = cfg.state_dim
+    M = cfg.max_landmarks
+    A, Z, nu, cmask = _deviation_blocks(state, cache, cfg)
+    any_match = jnp.any(state.lm.matched)
+
     pad = jnp.diag(jnp.where(cmask, cfg.sigma_measure, 1.0).astype(dtype))
     top = jnp.concatenate([Z, A], axis=1)
     bot = jnp.concatenate([pad, jnp.zeros((2 * M, D), dtype)], axis=1)
     R = jnp.linalg.qr(jnp.concatenate([top, bot], axis=0), mode="r")
 
     m2 = 2 * M
-    ryy = R[:m2, :m2]
-    ryx = R[:m2, m2:]
-    rxx = R[m2:, m2:]
-
-    nu = (lm.match_px - lm.pred).reshape(-1)                # (2M,)
-    nu = jnp.where(cmask, nu, 0.0)
-    dx = ryx.T @ jax.scipy.linalg.solve_triangular(ryy.T, nu, lower=True)
+    ryy, ryx, rxx = R[:m2, :m2], R[:m2, m2:], R[m2:, m2:]
+    dx = ryx.T @ tri_solve(ryy, nu, trans=True)
 
     x_new = jnp.where(any_match, state.x + dx, state.x)
     S_new = jnp.where(any_match, rxx, state.S)
     return replace(state, x=x_new, S=S_new)
+
+
+def _update_gram(state: FilterState, cache: PredictCache,
+                 cfg: SlamConfig) -> FilterState:
+    dtype = state.x.dtype
+    A, Z, nu, cmask = _deviation_blocks(state, cache, cfg)
+    any_match = jnp.any(state.lm.matched)
+
+    r_noise = jnp.where(cmask, cfg.sigma_measure ** 2, 1.0).astype(dtype)
+    pyy = gram(Z) + jnp.diag(r_noise)                     # (2M, 2M)  MXU
+    pxy = jax.lax.dot_general(                            # (D, 2M)   MXU
+        A, Z, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=dtype)
+    ryy = _chol_psd(pyy, 1e-6)                            # (2M, 2M) upper
+    w_mat = tri_solve(ryy, pxy.T, trans=True)             # Ryy^-T Pxy^T
+    dx = w_mat.T @ tri_solve(ryy, nu, trans=True)
+    # S' = chol(S^T S - W^T W): Joseph-free Schur complement in sqrt form
+    g = gram(state.S) - gram(w_mat)
+    S_new = _chol_psd(g, 1e-6)
+
+    x_new = jnp.where(any_match, state.x + dx, state.x)
+    S_new = jnp.where(any_match, S_new, state.S)
+    return replace(state, x=x_new, S=S_new)
+
+
+def _update_sequential(state: FilterState, cache: PredictCache,
+                       cfg: SlamConfig) -> FilterState:
+    """Reference-faithful per-landmark loop (SLAM.cpp:2048-2104)."""
+    dtype = state.x.dtype
+    D = cfg.state_dim
+    M = cfg.max_landmarks
+    w = ut_weights(D + 5, cfg)
+    lm = state.lm
+
+    A = w.wi_sr * (cache.sigma[:D, 1:] - cache.sigma[:D, :1]).T  # (2Na, D)
+    dz = w.wi_sr * (cache.sigma_pix[:, :, 1:]
+                    - cache.sigma_pix[:, :, :1])                 # (M, 2, 2Na)
+    nu_all = lm.match_px - lm.pred                               # (M, 2)
+
+    def body(carry, m):
+        x, S = carry
+
+        def do(x, S):
+            pxy = A.T @ dz[m].T                       # (D, 2)
+            si = lm.si[m]                              # (2, 2) upper
+            # K = Pxy (Si^T Si)^-1  via two triangular solves
+            k = tri_solve(si, tri_solve(si, pxy.T, trans=True)).T  # (D, 2)
+            x_new = x + k @ nu_all[m]
+            u = (k @ si.T).T                           # (2, D): U U^T = K Pyy K^T
+            S_new = chol_downdate(S, u)
+            return x_new, S_new
+
+        x, S = jax.lax.cond(lm.matched[m], do, lambda x, S: (x, S), x, S)
+        return (x, S), None
+
+    (x_new, S_new), _ = jax.lax.scan(
+        body, (state.x, state.S), jnp.arange(M))
+    return replace(state, x=x_new.astype(dtype), S=S_new.astype(dtype))
+
+
+def kalman_update(state: FilterState, cache: PredictCache,
+                  cfg: SlamConfig) -> FilterState:
+    if cfg.update_mode == "batched":
+        return _update_batched(state, cache, cfg)
+    if cfg.update_mode == "gram":
+        return _update_gram(state, cache, cfg)
+    if cfg.update_mode == "sequential":
+        return _update_sequential(state, cache, cfg)
+    raise ValueError(f"unknown update_mode {cfg.update_mode!r}")
