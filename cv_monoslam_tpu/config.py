@@ -149,6 +149,10 @@ class SlamConfig:
     #: sqrt-factor R computation: "householder" = XLA QR (GSL-faithful,
     #: SLAM.cpp:2330-2353); "cholqr2" = MXU-dominant CholeskyQR2.
     qr_mode: str = "householder"
+    #: vision hot-loop backend: "pallas" = fused Pallas kernels (NCC
+    #: active-search + patch warp), "xla" = grouped-conv/gather formulation,
+    #: "auto" = pallas on TPU, xla elsewhere.
+    vision_backend: str = "auto"
     #: compute dtype of the filter core. float64 only on CPU; TPU uses float32.
     dtype: str = "float32"
 

@@ -27,6 +27,15 @@ from ..geometry import camera as cam_mod
 from ..geometry import transforms as tf
 from .. import filter as _  # noqa: F401  (package init order)
 from ..filter.state import FilterState, replace
+from ..ops.pallas_vision import ncc_score_map, warp_bilinear
+
+
+def _use_pallas(cfg: SlamConfig) -> bool:
+    if cfg.vision_backend == "pallas":
+        return True
+    if cfg.vision_backend == "xla":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def warp_matrices(state: FilterState, cfg: SlamConfig) -> jnp.ndarray:
@@ -77,7 +86,10 @@ def warp_patches(state: FilterState, cfg: SlamConfig) -> jnp.ndarray:
     # sample position inside the (Pi,Pi) init patch, centre at (hp_i, hp_i)
     sv = hp_i + A[:, 0, 0, None, None] * dv + A[:, 0, 1, None, None] * du
     su = hp_i + A[:, 1, 0, None, None] * dv + A[:, 1, 1, None, None] * du
-    return _bilinear_batch(state.lm.init_patch.astype(state.x.dtype), su, sv)
+    patches = state.lm.init_patch.astype(state.x.dtype)
+    if _use_pallas(cfg):
+        return warp_bilinear(patches, su, sv)
+    return _bilinear_batch(patches, su, sv)
 
 
 def _bilinear_batch(img: jnp.ndarray, u: jnp.ndarray,
@@ -126,6 +138,9 @@ def ncc_scores(image: jnp.ndarray, centers: jnp.ndarray,
     def slice_region(b):
         return jax.lax.dynamic_slice(image, (b[1], b[0]), (Rg, Rg))
     regions = jax.vmap(slice_region)(base).astype(dtype)     # (M, Rg, Rg)
+
+    if cfg is not None and _use_pallas(cfg):
+        return ncc_score_map(regions, patches, pm=Pm, w1=W1), base
 
     # grouped conv: input (1, M, Rg, Rg), kernels (M, 1, Pm, Pm)
     def gconv(x, k):
