@@ -10,7 +10,6 @@ images to the device and accumulates records.
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import List, Optional
 
 import jax
@@ -21,6 +20,9 @@ from .config import SlamConfig
 from .filter.srukf import initialize, slam_step
 from .filter.state import FilterState, init_state
 from .io.dataset import ImageSequence, OdometryTrack
+from .io.recording import RunRecorder
+from .utils.profiling import FrameTimer
+from .utils.watchdog import Watchdog
 
 
 @dataclasses.dataclass
@@ -39,13 +41,22 @@ class SlamSession:
     """One SLAM run over an image sequence + odometry track."""
 
     def __init__(self, cfg: SlamConfig, images: ImageSequence,
-                 track: OdometryTrack, max_stored: int = 64):
+                 track: OdometryTrack, max_stored: int = 64,
+                 recorder: Optional[RunRecorder] = None,
+                 checkpoint_dir: Optional[str] = None,
+                 checkpoint_every: int = 50,
+                 watchdog: Optional[Watchdog] = None):
         self.cfg = cfg
         self.images = images
         self.track = track
         self.counter = 1                      # m_frame.counter semantics
         self.records: List[FrameRecord] = []
         self._dtype = np.dtype(cfg.dtype)
+        self.recorder = recorder
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self.watchdog = watchdog
+        self.timer = FrameTimer()
 
         # host-side numpy (never index device arrays eagerly — on tunneled
         # backends every eager op is a fresh device compile)
@@ -66,7 +77,7 @@ class SlamSession:
         k = self.counter
         if k >= len(self.track):
             return None
-        t0 = time.perf_counter()
+        self.timer.start()
         img = self.images.get(int(self.track.frame_id[k])).astype(self._dtype)
         self.state, out = self._step(
             self.state, img, self._odo[k - 1], self._odo[k],
@@ -80,11 +91,60 @@ class SlamSession:
             n_visible=int(out["n_visible"]),
             n_matched=int(out["n_matched"]),
             redirected=bool(out["redirected"]),
-            wall_time=time.perf_counter() - t0,
+            wall_time=self.timer.stop(),
         )
         self.records.append(rec)
         self.counter += 1
+        self._post_frame(rec)
         return rec
+
+    def _post_frame(self, rec: FrameRecord) -> None:
+        """Recording, health checks, periodic checkpoints (host side)."""
+        if self.recorder is not None:
+            sc = rec.pose_sqrt_cov[:2]
+            self.recorder.record_frame(
+                rec.frame,
+                odo_xy=self._odo[rec.frame, :2],
+                pose=rec.pose,
+                pose_cov2=np.diag(sc * sc),
+                lids=np.asarray(self.state.lm.lid),
+                xyz=np.asarray(self.state.lm.xyz),
+                valid=np.asarray(self.state.lm.active),
+                n_map=rec.n_map, n_visible=rec.n_visible,
+                n_matched=rec.n_matched, redirected=rec.redirected,
+                wall_time=rec.wall_time,
+            )
+        if (self.watchdog is not None
+                and self.watchdog.should_check(rec.frame)):
+            report = self.watchdog.check(self.state)
+            if not report.ok:
+                self.state = self.watchdog.recover(
+                    self.state, float(self._odo[rec.frame, 2]))
+        if (self.checkpoint_dir is not None
+                and rec.frame % self.checkpoint_every == 0):
+            self.save_checkpoint()
+
+    def save_checkpoint(self) -> str:
+        from .utils.checkpoint import save_checkpoint
+        import os
+
+        path = os.path.join(self.checkpoint_dir,
+                            f"ckpt_{self.counter:06d}.npz")
+        save_checkpoint(path, self.state, self.counter, self.cfg)
+        return path
+
+    @classmethod
+    def resume(cls, ckpt_path: str, images: ImageSequence,
+               track: OdometryTrack, **kw) -> "SlamSession":
+        """Rebuild a session from a checkpoint (SURVEY.md §5: new
+        capability; the reference can only restart from scratch)."""
+        from .utils.checkpoint import load_checkpoint
+
+        state, counter, cfg, _ = load_checkpoint(ckpt_path)
+        sess = cls(cfg, images, track, **kw)
+        sess.state = state
+        sess.counter = counter
+        return sess
 
     def run(self, n_frames: Optional[int] = None) -> np.ndarray:
         """AUTO mode: run to the end (or n_frames); returns (T, 4) poses."""
