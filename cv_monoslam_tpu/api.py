@@ -45,7 +45,8 @@ class SlamSession:
                  recorder: Optional[RunRecorder] = None,
                  checkpoint_dir: Optional[str] = None,
                  checkpoint_every: int = 50,
-                 watchdog: Optional[Watchdog] = None):
+                 watchdog: Optional[Watchdog] = None,
+                 backend: Optional["object"] = None):
         self.cfg = cfg
         self.images = images
         self.track = track
@@ -56,6 +57,8 @@ class SlamSession:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.watchdog = watchdog
+        self.backend = backend            # BackendSession (keyframes + BA)
+        self.refinements: List[dict] = []
         self.timer = FrameTimer()
 
         # host-side numpy (never index device arrays eagerly — on tunneled
@@ -123,6 +126,13 @@ class SlamSession:
         if (self.checkpoint_dir is not None
                 and rec.frame % self.checkpoint_every == 0):
             self.save_checkpoint()
+        if self.backend is not None:
+            kf = self.backend.maybe_add(rec.frame, self.state,
+                                        self._odo[rec.frame])
+            if kf is not None and len(self.backend.keyframes) >= 2:
+                out = self.backend.refine_window()
+                if out is not None:
+                    self.refinements.append(out)
 
     def save_checkpoint(self) -> str:
         from .utils.checkpoint import save_checkpoint

@@ -88,10 +88,15 @@ def cmd_run(args) -> int:
                                                args.seed)
 
     wd = Watchdog(cfg) if args.watchdog else None
+    backend = None
+    if args.backend:
+        from .backend.session import BackendSession
+
+        backend = BackendSession(cfg)
     kw = dict(recorder=_make_recorder(args, out_dir),
               checkpoint_dir=(os.path.join(out_dir, "ckpt")
                               if args.checkpoint else None),
-              watchdog=wd)
+              watchdog=wd, backend=backend)
     if args.resume:
         sess = SlamSession.resume(args.resume, images, track, **kw)
     else:
@@ -108,6 +113,19 @@ def cmd_run(args) -> int:
           f"mean step: {sess.timer.mean_time * 1e3:.1f} ms")
     if gt_xy is not None and len(sess.records):
         print(f"ATE: {sess.ate(gt_xy):.4f} m")
+    if backend is not None and backend.keyframes:
+        gout = backend.optimize_graph()
+        kf_poses = np.stack([k.pose for k in backend.keyframes])
+        np.savez(os.path.join(out_dir, "keyframes.npz"),
+                 poses=kf_poses,
+                 frames=np.array([k.frame for k in backend.keyframes]))
+        n_ref = len(sess.refinements)
+        last = sess.refinements[-1] if n_ref else None
+        print(f"backend: {len(backend.keyframes)} keyframes, {n_ref} BA "
+              f"solves"
+              + (f", last rmse {last['rmse_before']:.2f}->"
+                 f"{last['rmse_after']:.2f} px" if last else "")
+              + (f", {gout['n_loop_edges']} loop edges" if gout else ""))
     if args.viz and len(sess.records):
         from . import viz
 
@@ -183,6 +201,8 @@ def main(argv=None) -> int:
     pr.add_argument("--resume", help="checkpoint file to resume from")
     pr.add_argument("--watchdog", action="store_true",
                     help="enable divergence watchdog")
+    pr.add_argument("--backend", action="store_true",
+                    help="keyframe backend: sliding-window BA + pose graph")
     pr.set_defaults(fn=cmd_run)
 
     ps = sub.add_parser("synth", help="generate/cache a synthetic sequence")

@@ -99,6 +99,37 @@ def image2camera(cam: CameraConfig, pix_u: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([X, Y, jnp.ones_like(X)], axis=-1)
 
 
+def project_smooth(cam: CameraConfig, hlr: jnp.ndarray) -> jnp.ndarray:
+    """Sentinel-free differentiable projection for the BA backend.
+
+    Same math as :func:`project` but without the visibility zeroing — the
+    (0,0) sentinel is a step discontinuity whose derivative is zero, which
+    would silently kill Gauss-Newton Jacobians. Validity is handled by the
+    caller's observation mask instead.
+    """
+    X, Y, Z = hlr[..., 0], hlr[..., 1], hlr[..., 2]
+    safe_z = jnp.where(jnp.abs(Z) < 1e-9, 1e-9, Z)
+    u = cam.cy + cam.f2 * Y / safe_z
+    v = cam.cx + cam.f1 * X / safe_z
+    xu = (u - cam.cx) * cam.dx
+    yu = (v - cam.cy) * cam.dy
+    ru = jnp.sqrt(xu * xu + yu * yu + 1e-18)
+    ru2 = ru * ru
+    rd = ru / (1.0 + cam.k1 * ru2 + cam.k2 * ru2 * ru2)
+
+    def newton(rd, _):
+        f = rd + cam.k1 * rd**3 + cam.k2 * rd**5 - ru
+        fp = 1.0 + 3.0 * cam.k1 * rd * rd + 5.0 * cam.k2 * rd**4
+        return rd - f / fp, None
+
+    rd, _ = jax.lax.scan(newton, rd, None, length=cam.distort_iters)
+    rd2 = rd * rd
+    d = 1.0 + cam.k1 * rd2 + cam.k2 * rd2 * rd2
+    d = jnp.where(d == 0.0, 1e-13, d)
+    return jnp.stack([cam.cx + (xu / d) / cam.dx,
+                      cam.cy + (yu / d) / cam.dy], axis=-1)
+
+
 def project(cam: CameraConfig, hlr: jnp.ndarray,
             err: jnp.ndarray | None = None) -> jnp.ndarray:
     """Camera-frame point -> distorted pixel, with sentinel propagation.
