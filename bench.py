@@ -24,19 +24,16 @@ def main():
     from cv_monoslam_tpu.api import SlamSession
     from cv_monoslam_tpu.models.oracle import OracleSLAM
 
-    n_frames = 30
+    n_frames = 41
+    chunk = 8
     seq, track, gt_xy, gt_th = get_sequence("arc", n_frames, 0)
 
     cfg = SlamConfig(max_landmarks=32, max_new_per_frame=8,
                      max_detections=48)
     sess = SlamSession(cfg, seq, track)
-    warmup = 3
-    for _ in range(warmup):
-        sess.step()
+    sess.step_chunk(chunk)                      # warmup: compile the scan
     t0 = time.perf_counter()
-    n = 0
-    while sess.step() is not None:
-        n += 1
+    n = len(sess.run(chunk=chunk)) - chunk
     engine_dt = (time.perf_counter() - t0) / max(n, 1)
     ate = sess.ate(gt_xy)
 

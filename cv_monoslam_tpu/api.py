@@ -70,6 +70,7 @@ class SlamSession:
         self._step = jax.jit(
             lambda st, img, op, oc, rd: slam_step(st, img, op, oc, rd, cfg))
         self._init = jax.jit(lambda st, img: initialize(st, img, cfg))
+        self._chunk_steps: dict = {}   # chunk length -> jitted scan
 
         state = init_state(cfg, theta0=float(track.theta[0]),
                            max_stored=max_stored)
@@ -156,10 +157,79 @@ class SlamSession:
         sess.counter = counter
         return sess
 
-    def run(self, n_frames: Optional[int] = None) -> np.ndarray:
-        """AUTO mode: run to the end (or n_frames); returns (T, 4) poses."""
+    def _chunk_fn(self, k: int):
+        """Jitted ``lax.scan`` over k frames (compiled once per length)."""
+        if k not in self._chunk_steps:
+            cfg = self.cfg
+
+            def chunk(st, imgs, odo_prev, odo_cur, redirects):
+                def body(s, inp):
+                    img, op, oc, rd = inp
+                    s, out = slam_step(s, img, op, oc, rd, cfg)
+                    return s, out
+
+                return jax.lax.scan(
+                    body, st, (imgs, odo_prev, odo_cur, redirects))
+
+            self._chunk_steps[k] = jax.jit(chunk)
+        return self._chunk_steps[k]
+
+    def step_chunk(self, k: int) -> List[FrameRecord]:
+        """Process up to ``k`` frames in ONE device dispatch.
+
+        The per-frame host loop in :meth:`step` pays a host<->device
+        round-trip per frame for the image upload and each telemetry
+        fetch — dominant on tunneled/remote TPU backends. Here K frames
+        are stacked, scanned on-device, and telemetry is fetched once.
+        Host-side per-frame work (recorder/watchdog/backend) runs at
+        chunk granularity on the final state.
+        """
+        k = min(k, len(self.track) - self.counter)
+        if k <= 0:
+            return []
+        ks = self.counter
+        self.timer.start()
+        imgs = np.stack([
+            self.images.get(int(self.track.frame_id[i])).astype(self._dtype)
+            for i in range(ks, ks + k)])
+        self.state, outs = self._chunk_fn(k)(
+            self.state, imgs, self._odo[ks - 1:ks - 1 + k],
+            self._odo[ks:ks + k], self._redirect[ks:ks + k])
+        wall = self.timer.stop()
+        poses = np.asarray(outs["pose"])
+        scovs = np.asarray(outs["pose_sqrt_cov"])
+        n_map = np.asarray(outs["n_map"])
+        n_vis = np.asarray(outs["n_visible"])
+        n_mat = np.asarray(outs["n_matched"])
+        redir = np.asarray(outs["redirected"])
+        recs = [FrameRecord(frame=ks + i, pose=poses[i],
+                            pose_sqrt_cov=scovs[i], n_map=int(n_map[i]),
+                            n_visible=int(n_vis[i]),
+                            n_matched=int(n_mat[i]),
+                            redirected=bool(redir[i]), wall_time=wall / k)
+                for i in range(k)]
+        self.records.extend(recs)
+        self.counter += k
+        self._post_frame(recs[-1])
+        return recs
+
+    def run(self, n_frames: Optional[int] = None,
+            chunk: int = 1) -> np.ndarray:
+        """AUTO mode: run to the end (or n_frames); returns (T, 4) poses.
+
+        ``chunk > 1`` scans that many frames per device dispatch
+        (fastest; telemetry/recording at chunk granularity).
+        """
         n = (len(self.track) - self.counter if n_frames is None
              else n_frames)
+        if chunk > 1:
+            done = 0
+            while done < n:
+                recs = self.step_chunk(min(chunk, n - done))
+                if not recs:
+                    break
+                done += len(recs)
+            return self.trajectory
         for _ in range(n):
             if self.step() is None:
                 break

@@ -100,6 +100,11 @@ class SlamConfig:
     #: integer match positions (SLAM.cpp:1986-2002), whose constant
     #: per-feature rounding bias integrates into pose drift; off = faithful.
     subpixel_match: bool = True
+    #: skip detection+integration at runtime via lax.cond when the map is
+    #: well-tracked (reference trigger SLAM.cpp:552-562). When False the
+    #: detection always runs and integration is masked — faster on backends
+    #: where conditionals inside scan serialize poorly.
+    gate_detection: bool = False
 
     # ---- noise (SLAM.cpp:190-198, 240-246) ----
     sigma_measure: float = 3.0   # pixel measurement noise (sqrt)

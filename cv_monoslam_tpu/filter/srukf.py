@@ -82,8 +82,20 @@ def slam_step(state: FilterState, image: jnp.ndarray, odo_prev: jnp.ndarray,
         state = kalman_update(state, cache, cfg)
         state = update_features(state, cfg)
         n_matched = jnp.sum(state.lm.matched & state.lm.active)
-        state = add_features(state, image, cfg,
-                             should_add=n_matched < cfg.min_num)
+        # reference trigger: detect only when matches < minNUM
+        # (SLAM.cpp:552-562). Two executions: lax.cond skips the whole
+        # detection+integration pipeline at runtime (gate_detection), or
+        # detection always runs and only integration is masked — the cond
+        # serializes badly inside scan on some backends, so it's opt-in.
+        if cfg.gate_detection:
+            state = jax.lax.cond(
+                n_matched < cfg.min_num,
+                lambda s: add_features(s, image, cfg, should_add=True),
+                lambda s: s,
+                state)
+        else:
+            state = add_features(state, image, cfg,
+                                 should_add=n_matched < cfg.min_num)
         return state
 
     def redirected(state):

@@ -135,14 +135,43 @@ class ImageSequence:
         if self._frames is not None:
             return np.asarray(self._frames[self._index[int(frame_id)]],
                               dtype=np.float32)
-        from PIL import Image
-
         path = self._pattern % int(frame_id)
         if not os.path.exists(path):
             raise FileNotFoundError(path)
+        if path.lower().endswith((".jpg", ".jpeg")):
+            from . import native
+
+            if native.available():   # C++ libjpeg decode (L3 runtime)
+                return native.decode_jpeg_gray(path)
+        from PIL import Image
+
         img = Image.open(path).convert("L")
         return np.asarray(img, dtype=np.float32)
 
     def iter_ids(self, ids: Sequence[int]) -> Iterator[np.ndarray]:
         for i in ids:
             yield self.get(i)
+
+    def prefetch(self, ids: Sequence[int], width: int, height: int,
+                 depth: int = 4) -> Iterator[np.ndarray]:
+        """Iterate frames with background-thread decode when the native
+        runtime is available (C++ prefetcher overlapping the device step);
+        falls back to synchronous decode otherwise."""
+        if (self._pattern is not None
+                and self._pattern.lower().endswith((".jpg", ".jpeg"))):
+            from . import native
+
+            if native.available():
+                pf = native.NativePrefetcher(self._pattern,
+                                             np.asarray(ids, np.int64),
+                                             width, height, depth)
+                try:
+                    while True:
+                        frame = pf.next()
+                        if frame is None:
+                            return
+                        yield frame
+                finally:
+                    pf.close()
+                return
+        yield from self.iter_ids(ids)

@@ -96,7 +96,16 @@ class RunRecorder:
 
     def __init__(self, robot_path: Optional[str] = None,
                  features_path: Optional[str] = None,
-                 metrics_path: Optional[str] = None):
+                 metrics_path: Optional[str] = None,
+                 use_native: bool = False):
+        self._native = None
+        if use_native and (robot_path or features_path):
+            from . import native
+
+            if native.available():
+                self._native = native.NativeRecorder(robot_path or "",
+                                                     features_path or "")
+                robot_path = features_path = None
         self.robot = RobotPathRecorder(robot_path) if robot_path else None
         self.features = (FeaturesInfoRecorder(features_path)
                          if features_path else None)
@@ -104,6 +113,15 @@ class RunRecorder:
 
     def record_frame(self, frame: int, *, odo_xy, pose, pose_cov2=None,
                      lids=None, xyz=None, valid=None, **metrics) -> None:
+        if self._native is not None:
+            cov = (np.zeros((2, 2)) if pose_cov2 is None
+                   else np.asarray(pose_cov2))
+            self._native.record_robot(frame, np.asarray(odo_xy),
+                                      np.asarray(pose)[:2], cov)
+            if lids is not None:
+                self._native.record_features(np.asarray(lids),
+                                             np.asarray(xyz),
+                                             np.asarray(valid))
         if self.robot is not None:
             cov = (np.zeros((2, 2)) if pose_cov2 is None
                    else np.asarray(pose_cov2))
@@ -118,6 +136,8 @@ class RunRecorder:
                                 odo=np.asarray(odo_xy), **metrics)
 
     def close(self) -> None:
+        if self._native is not None:
+            self._native.close()
         for w in (self.robot, self.features, self.metrics):
             if w is not None:
                 w.close()
