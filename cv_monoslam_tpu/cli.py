@@ -103,7 +103,7 @@ def cmd_run(args) -> int:
         sess = SlamSession(cfg, images, track, **kw)
 
     n = args.frames if args.images else None
-    sess.run(n)
+    sess.run(n, chunk=args.chunk)
     traj = sess.trajectory
     np.savez(os.path.join(out_dir, "trajectory.npz"),
              poses=traj,
@@ -199,6 +199,9 @@ def main(argv=None) -> int:
                     help="write trajectory/map/overlay PNGs")
     pr.add_argument("--checkpoint", action="store_true")
     pr.add_argument("--resume", help="checkpoint file to resume from")
+    pr.add_argument("--chunk", type=int, default=1,
+                    help="frames per device dispatch (lax.scan); >1 is "
+                         "fastest, telemetry at chunk granularity")
     pr.add_argument("--watchdog", action="store_true",
                     help="enable divergence watchdog")
     pr.add_argument("--backend", action="store_true",
