@@ -67,8 +67,14 @@ class SlamSession:
             [track.xy, track.theta[:, None]], axis=1).astype(self._dtype)
         self._redirect = np.asarray(track.redirect)
 
-        self._step = jax.jit(
-            lambda st, img, op, oc, rd: slam_step(st, img, op, oc, rd, cfg))
+        # separate jits per redirect branch: selecting the branch at trace
+        # time (static bool) instead of lax.cond keeps remote-TPU compile
+        # times sane (the conditional of two filter-sized branches compiles
+        # ~25x slower than both branches separately)
+        self._step_normal = jax.jit(
+            lambda st, img, op, oc: slam_step(st, img, op, oc, False, cfg))
+        self._step_redirect = jax.jit(
+            lambda st, img, op, oc: slam_step(st, img, op, oc, True, cfg))
         self._init = jax.jit(lambda st, img: initialize(st, img, cfg))
         self._chunk_steps: dict = {}   # chunk length -> jitted scan
 
@@ -83,9 +89,10 @@ class SlamSession:
             return None
         self.timer.start()
         img = self.images.get(int(self.track.frame_id[k])).astype(self._dtype)
-        self.state, out = self._step(
-            self.state, img, self._odo[k - 1], self._odo[k],
-            bool(self._redirect[k]))
+        step = (self._step_redirect if self._redirect[k]
+                else self._step_normal)
+        self.state, out = step(
+            self.state, img, self._odo[k - 1], self._odo[k])
         pose = np.asarray(out["pose"])
         rec = FrameRecord(
             frame=k,
@@ -162,14 +169,13 @@ class SlamSession:
         if k not in self._chunk_steps:
             cfg = self.cfg
 
-            def chunk(st, imgs, odo_prev, odo_cur, redirects):
+            def chunk(st, imgs, odo_prev, odo_cur):
                 def body(s, inp):
-                    img, op, oc, rd = inp
-                    s, out = slam_step(s, img, op, oc, rd, cfg)
+                    img, op, oc = inp
+                    s, out = slam_step(s, img, op, oc, False, cfg)
                     return s, out
 
-                return jax.lax.scan(
-                    body, st, (imgs, odo_prev, odo_cur, redirects))
+                return jax.lax.scan(body, st, (imgs, odo_prev, odo_cur))
 
             self._chunk_steps[k] = jax.jit(chunk)
         return self._chunk_steps[k]
@@ -188,13 +194,30 @@ class SlamSession:
         if k <= 0:
             return []
         ks = self.counter
+        # the scan body is the redirect-free branch; segment at redirection
+        # frames (rare: |dtheta| > 45 deg) and run those via the dedicated
+        # single-step jit instead of carrying a giant lax.cond in the scan
+        if self._redirect[ks]:
+            rec = self.step()
+            return [rec] if rec is not None else []
+        nxt = np.flatnonzero(self._redirect[ks:ks + k])
+        if nxt.size:
+            # odd-length remainder before a redirect: single steps, so the
+            # per-length scan cache holds only the caller's chunk size
+            recs = []
+            for _ in range(int(nxt[0])):
+                rec = self.step()
+                if rec is None:
+                    break
+                recs.append(rec)
+            return recs
         self.timer.start()
         imgs = np.stack([
             self.images.get(int(self.track.frame_id[i])).astype(self._dtype)
             for i in range(ks, ks + k)])
         self.state, outs = self._chunk_fn(k)(
             self.state, imgs, self._odo[ks - 1:ks - 1 + k],
-            self._odo[ks:ks + k], self._redirect[ks:ks + k])
+            self._odo[ks:ks + k])
         wall = self.timer.stop()
         poses = np.asarray(outs["pose"])
         scovs = np.asarray(outs["pose_sqrt_cov"])
@@ -225,7 +248,12 @@ class SlamSession:
         if chunk > 1:
             done = 0
             while done < n:
-                recs = self.step_chunk(min(chunk, n - done))
+                if n - done < chunk:        # tail: avoid a fresh scan compile
+                    if self.step() is None:
+                        break
+                    done += 1
+                    continue
+                recs = self.step_chunk(chunk)
                 if not recs:
                     break
                 done += len(recs)

@@ -71,9 +71,18 @@ def initialize(state: FilterState, image: jnp.ndarray,
 
 
 def slam_step(state: FilterState, image: jnp.ndarray, odo_prev: jnp.ndarray,
-              odo_cur: jnp.ndarray, redirect: jnp.ndarray,
+              odo_cur: jnp.ndarray, redirect: jnp.ndarray | bool,
               cfg: SlamConfig):
-    """One frame. Returns (new_state, outputs dict)."""
+    """One frame. Returns (new_state, outputs dict).
+
+    ``redirect`` may be a traced bool (both branches live under one
+    ``lax.cond``) or a Python bool — then the branch is selected at trace
+    time. The static form matters on remote/tunneled TPU backends, where
+    XLA's conditional of two filter-sized branches compiles ~25x slower
+    than either branch alone; the host driver (api.SlamSession) segments
+    frame chunks at redirection boundaries so the hot scan never carries
+    the cond.
+    """
 
     def normal(state):
         state, cache = motion_predict(state, odo_prev, odo_cur, cfg)
@@ -104,7 +113,11 @@ def slam_step(state: FilterState, image: jnp.ndarray, odo_prev: jnp.ndarray,
                              should_add=True)
         return state
 
-    state = jax.lax.cond(redirect, redirected, normal, state)
+    if isinstance(redirect, bool):
+        state = redirected(state) if redirect else normal(state)
+        redirect = jnp.asarray(redirect)
+    else:
+        state = jax.lax.cond(redirect, redirected, normal, state)
     state = replace(state, frame=state.frame + 1)
     lm = state.lm
     outputs = dict(
