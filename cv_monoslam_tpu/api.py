@@ -93,11 +93,11 @@ class SlamSession:
                 else self._step_normal)
         self.state, out = step(
             self.state, img, self._odo[k - 1], self._odo[k])
-        pose = np.asarray(out["pose"])
+        out = {key: np.asarray(v) for key, v in out.items()}
         rec = FrameRecord(
             frame=k,
-            pose=pose,
-            pose_sqrt_cov=np.asarray(out["pose_sqrt_cov"]),
+            pose=out["pose"],
+            pose_sqrt_cov=out["pose_sqrt_cov"],
             n_map=int(out["n_map"]),
             n_visible=int(out["n_visible"]),
             n_matched=int(out["n_matched"]),
@@ -106,11 +106,16 @@ class SlamSession:
         )
         self.records.append(rec)
         self.counter += 1
-        self._post_frame(rec)
+        self._post_frame(rec, out)
         return rec
 
-    def _post_frame(self, rec: FrameRecord) -> None:
-        """Recording, health checks, periodic checkpoints (host side)."""
+    def _post_frame(self, rec: FrameRecord, tele: dict) -> None:
+        """Recording, health checks, keyframes, periodic checkpoints.
+
+        ``tele`` is the per-frame telemetry dict (numpy) from the jitted
+        step outputs — single steps and chunked scans both route every
+        frame through here, so recording stays per-frame in the fast path
+        (the reference records every frame, SLAM.cpp:3512-3562)."""
         if self.recorder is not None:
             sc = rec.pose_sqrt_cov[:2]
             self.recorder.record_frame(
@@ -118,16 +123,16 @@ class SlamSession:
                 odo_xy=self._odo[rec.frame, :2],
                 pose=rec.pose,
                 pose_cov2=np.diag(sc * sc),
-                lids=np.asarray(self.state.lm.lid),
-                xyz=np.asarray(self.state.lm.xyz),
-                valid=np.asarray(self.state.lm.active),
+                lids=tele["lm_lid"],
+                xyz=tele["lm_xyz"],
+                valid=tele["lm_active"],
                 n_map=rec.n_map, n_visible=rec.n_visible,
                 n_matched=rec.n_matched, redirected=rec.redirected,
                 wall_time=rec.wall_time,
             )
         if (self.watchdog is not None
                 and self.watchdog.should_check(rec.frame)):
-            report = self.watchdog.check(self.state)
+            report = self.watchdog.check_flags(tele["health"])
             if not report.ok:
                 self.state = self.watchdog.recover(
                     self.state, float(self._odo[rec.frame, 2]))
@@ -135,8 +140,10 @@ class SlamSession:
                 and rec.frame % self.checkpoint_every == 0):
             self.save_checkpoint()
         if self.backend is not None:
-            kf = self.backend.maybe_add(rec.frame, self.state,
-                                        self._odo[rec.frame])
+            kf = self.backend.maybe_add_telemetry(
+                rec.frame, tele["pose"], self._odo[rec.frame],
+                tele["lm_lid"], tele["lm_matched"], tele["lm_match_px"],
+                tele["lm_xyz"])
             if kf is not None and len(self.backend.keyframes) >= 2:
                 out = self.backend.refine_window()
                 if out is not None:
@@ -219,21 +226,21 @@ class SlamSession:
             self.state, imgs, self._odo[ks - 1:ks - 1 + k],
             self._odo[ks:ks + k])
         wall = self.timer.stop()
-        poses = np.asarray(outs["pose"])
-        scovs = np.asarray(outs["pose_sqrt_cov"])
-        n_map = np.asarray(outs["n_map"])
-        n_vis = np.asarray(outs["n_visible"])
-        n_mat = np.asarray(outs["n_matched"])
-        redir = np.asarray(outs["redirected"])
-        recs = [FrameRecord(frame=ks + i, pose=poses[i],
-                            pose_sqrt_cov=scovs[i], n_map=int(n_map[i]),
-                            n_visible=int(n_vis[i]),
-                            n_matched=int(n_mat[i]),
-                            redirected=bool(redir[i]), wall_time=wall / k)
-                for i in range(k)]
-        self.records.extend(recs)
-        self.counter += k
-        self._post_frame(recs[-1])
+        outs = {key: np.asarray(v) for key, v in outs.items()}
+        recs = []
+        for i in range(k):
+            tele = {key: v[i] for key, v in outs.items()}
+            rec = FrameRecord(frame=ks + i, pose=tele["pose"],
+                              pose_sqrt_cov=tele["pose_sqrt_cov"],
+                              n_map=int(tele["n_map"]),
+                              n_visible=int(tele["n_visible"]),
+                              n_matched=int(tele["n_matched"]),
+                              redirected=bool(tele["redirected"]),
+                              wall_time=wall / k)
+            recs.append(rec)
+            self.records.append(rec)
+            self.counter += 1
+            self._post_frame(rec, tele)
         return recs
 
     def run(self, n_frames: Optional[int] = None,
@@ -268,8 +275,46 @@ class SlamSession:
         return np.stack([r.pose for r in self.records]) if self.records \
             else np.zeros((0, 4))
 
-    def ate(self, gt_xy: np.ndarray) -> float:
-        """RMSE of estimated vs ground-truth (x, y) per processed frame."""
-        ids = [r.frame for r in self.records]
-        err = self.trajectory[:, :2] - gt_xy[ids]
+    @property
+    def trajectory_refined(self) -> np.ndarray:
+        """Trajectory with backend (BA / pose-graph) keyframe corrections.
+
+        Each frame's filter pose is re-anchored to the latest refined
+        keyframe at or before it: the filter's relative motion since that
+        keyframe is composed onto the keyframe's optimized pose — the
+        engine analogue of the reference splicing loop corrections back
+        into the live state (SLAM.cpp:948-1015). Frames before the first
+        keyframe are returned unchanged."""
+        traj = self.trajectory.copy()
+        if self.backend is None or not self.backend.keyframes:
+            return traj
+        kfs = sorted(self.backend.keyframes, key=lambda f: f.frame)
+        kf_frames = np.array([f.frame for f in kfs])
+        for t, rec in enumerate(self.records):
+            j = int(np.searchsorted(kf_frames, rec.frame, side="right")) - 1
+            if j < 0:
+                continue
+            kf = kfs[j]
+            p0 = kf.pose0                     # filter pose at keyframe time
+            pr = kf.pose                      # refined pose
+            # relative SE(2) motion since the keyframe, in the kf frame
+            c0, s0 = np.cos(p0[2]), np.sin(p0[2])
+            d = rec.pose[[0, 1]] - p0[:2]
+            rel = np.array([c0 * d[0] + s0 * d[1], -s0 * d[0] + c0 * d[1]])
+            dth = rec.pose[3] - p0[2]
+            cr, sr = np.cos(pr[2]), np.sin(pr[2])
+            traj[t, 0] = pr[0] + cr * rel[0] - sr * rel[1]
+            traj[t, 1] = pr[1] + sr * rel[0] + cr * rel[1]
+            traj[t, 3] = pr[2] + dth
+        return traj
+
+    def ate(self, gt_xy: np.ndarray, refined: bool = False) -> float:
+        """RMSE of estimated vs ground-truth (x, y) per processed frame.
+
+        ``gt_xy`` is indexed by RAW frame id (the odometry file's image
+        index), so frames dropped by the min-step filter are skipped
+        consistently (SLAM.cpp:419-432)."""
+        ids = [int(self.track.frame_id[r.frame]) for r in self.records]
+        traj = self.trajectory_refined if refined else self.trajectory
+        err = traj[:, :2] - gt_xy[ids]
         return float(np.sqrt((err ** 2).sum(axis=1).mean()))

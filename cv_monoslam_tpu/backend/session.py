@@ -24,26 +24,40 @@ from .pose_graph import PoseGraph, pose_graph_solve
 @dataclasses.dataclass
 class Keyframe:
     frame: int
-    pose: np.ndarray          # (3,) x, y, theta (filter estimate)
+    pose: np.ndarray          # (3,) x, y, theta — refined in place by BA
     odo: np.ndarray           # (3,) odometry x, y, theta at this frame
     lids: np.ndarray          # (K,) matched landmark ids
     pixels: np.ndarray        # (K, 2) matched pixel observations
     xyz: np.ndarray           # (K, 3) landmark world estimates
+    pose0: Optional[np.ndarray] = None  # original filter estimate
+
+    def __post_init__(self):
+        if self.pose0 is None:
+            self.pose0 = np.asarray(self.pose, dtype=np.float64).copy()
+
+
+def make_keyframe(frame: int, pose4: np.ndarray, odo: np.ndarray,
+                  lid: np.ndarray, matched: np.ndarray,
+                  match_px: np.ndarray, xyz: np.ndarray) -> Keyframe:
+    """Build a keyframe from raw per-frame arrays (the ``lm_*`` telemetry
+    fields of ``slam_step`` outputs, or a live FilterState)."""
+    sel = np.flatnonzero(np.asarray(matched))
+    pose = np.asarray(pose4)
+    return Keyframe(
+        frame=frame,
+        pose=np.array([pose[0], pose[1], pose[3]]),
+        odo=np.asarray(odo, dtype=np.float64),
+        lids=np.asarray(lid)[sel],
+        pixels=np.asarray(match_px)[sel],
+        xyz=np.asarray(xyz)[sel],
+    )
 
 
 def keyframe_from_state(frame: int, state: FilterState,
                         odo: np.ndarray) -> Keyframe:
     lm = state.lm
-    sel = np.flatnonzero(np.asarray(lm.matched & lm.active))
-    pose = np.asarray(state.x[-4:])
-    return Keyframe(
-        frame=frame,
-        pose=np.array([pose[0], pose[1], pose[3]]),
-        odo=np.asarray(odo, dtype=np.float64),
-        lids=np.asarray(lm.lid)[sel],
-        pixels=np.asarray(lm.match_px)[sel],
-        xyz=np.asarray(lm.xyz)[sel],
-    )
+    return make_keyframe(frame, state.x[-4:], odo, lm.lid,
+                         lm.matched & lm.active, lm.match_px, lm.xyz)
 
 
 def _relpose_np(p0, p1):
@@ -71,7 +85,17 @@ class BackendSession:
                   odo: np.ndarray) -> Optional[Keyframe]:
         if frame % self.cfg.keyframe_every != 0:
             return None
-        kf = keyframe_from_state(frame, state, odo)
+        return self._add(keyframe_from_state(frame, state, odo))
+
+    def maybe_add_telemetry(self, frame: int, pose4, odo, lid, matched,
+                            match_px, xyz) -> Optional[Keyframe]:
+        """Keyframe from chunked-scan telemetry (no FilterState needed)."""
+        if frame % self.cfg.keyframe_every != 0:
+            return None
+        return self._add(make_keyframe(frame, pose4, odo, lid, matched,
+                                       match_px, xyz))
+
+    def _add(self, kf: Keyframe) -> Optional[Keyframe]:
         if len(kf.lids) == 0:
             return None
         self._detect_loops(kf)

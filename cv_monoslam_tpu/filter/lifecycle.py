@@ -104,19 +104,28 @@ def snapshot_records(state: FilterState, cfg: SlamConfig):
 
 def store_features(stored: StoredTable, recs: dict,
                    mask: jnp.ndarray) -> StoredTable:
-    """Scatter mask-selected records into free stored slots (oldest-evict)."""
-    K = stored.valid.shape[0]
+    """Scatter mask-selected records into stored slots.
+
+    Slot policy per record: (1) a valid slot already holding the same
+    landmark id is overwritten (repeated redirects refresh, not duplicate);
+    (2) else the first free slot; (3) else the OLDEST slot by insertion
+    stamp is evicted."""
+    mask = jnp.asarray(mask)
+    recs = {k: jnp.asarray(v) for k, v in recs.items()}
 
     def body(st, j):
         def do(st):
-            # free slot, else evict the smallest lid
-            free = jnp.argmin(st.valid.astype(jnp.int32) * 2
-                              + (st.lid > 0).astype(jnp.int32))
-            slot = jnp.where(jnp.any(~st.valid),
-                             jnp.argmin(st.valid), free)
+            dup = st.valid & (st.lid == recs["lid"][j])
+            free = jnp.argmin(st.valid)            # first False (free)
+            oldest = jnp.argmin(jnp.where(
+                st.valid, st.stamp, jnp.iinfo(jnp.int32).max))
+            slot = jnp.where(jnp.any(~st.valid), free, oldest)
+            slot = jnp.where(jnp.any(dup), jnp.argmax(dup), slot)
             return replace(
                 st,
                 valid=st.valid.at[slot].set(True),
+                stamp=st.stamp.at[slot].set(st.seq),
+                seq=st.seq + 1,
                 lid=st.lid.at[slot].set(recs["lid"][j]),
                 is_loop=st.is_loop.at[slot].set(recs["is_loop"][j]),
                 n_predict=st.n_predict.at[slot].set(recs["n_predict"][j]),

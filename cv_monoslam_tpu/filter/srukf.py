@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..frontend.detect import detect_corners, select_new_corners
 from ..frontend.matching import data_association
+from ..utils.watchdog import health_check
 from .lifecycle import (integrate_features, project_stored, readd_stored,
                         redirect_reset, update_features)
 from .measurement import measurement_predict
@@ -128,5 +129,15 @@ def slam_step(state: FilterState, image: jnp.ndarray, odo_prev: jnp.ndarray,
         n_visible=jnp.sum(lm.visible & lm.active),
         n_matched=jnp.sum(lm.matched & lm.active),
         redirected=redirect,
+        # per-frame landmark telemetry so chunked scans can drive the
+        # recorder / watchdog / keyframe backend at frame (not chunk)
+        # granularity — the reference records every frame
+        # (SLAM.cpp:3512-3562)
+        lm_lid=lm.lid,
+        lm_active=lm.active,
+        lm_matched=lm.matched & lm.active,
+        lm_match_px=lm.match_px,
+        lm_xyz=lm.xyz,
+        health=health_check(state, cfg),
     )
     return state, outputs

@@ -60,9 +60,17 @@ class LandmarkTable:
 
 @_dc
 class StoredTable:
-    """Snapshots for redirection / loop reuse (FeatureInfo, SLAM.h:73-99)."""
+    """Snapshots for redirection / loop reuse (FeatureInfo, SLAM.h:73-99).
+
+    ``stamp``/``seq`` implement true oldest-first eviction when the table is
+    full: every insert takes the monotone counter ``seq`` as its stamp, and
+    a full table evicts the minimum-stamp slot (the reference's list grows
+    without bound, SLAM.cpp:1359-1378; a fixed-capacity table needs a
+    policy)."""
 
     valid: jnp.ndarray        # (K,) bool
+    stamp: jnp.ndarray        # (K,) int32 insertion order stamp
+    seq: jnp.ndarray          # () int32 monotone insert counter
     lid: jnp.ndarray          # (K,) int32
     is_loop: jnp.ndarray      # (K,) bool
     n_predict: jnp.ndarray    # (K,) int32
@@ -145,6 +153,8 @@ def init_state(cfg: SlamConfig, theta0: float = 0.0,
     )
     stored = StoredTable(
         valid=np.zeros(K, bool),
+        stamp=np.zeros(K, np.int32),
+        seq=np.int32(0),
         lid=np.zeros(K, np.int32),
         is_loop=np.zeros(K, bool),
         n_predict=np.zeros(K, np.int32),

@@ -74,9 +74,13 @@ class Watchdog:
         return frame % self.check_every == 0
 
     def check(self, state: FilterState) -> HealthReport:
+        return self.check_flags(np.asarray(health_check(state, self.cfg)))
+
+    def check_flags(self, flags: np.ndarray) -> HealthReport:
+        """Record a report from flags already computed in the jitted step
+        (the ``health`` telemetry field) — no extra device work."""
         self.n_checks += 1
-        report = HealthReport.from_flags(
-            np.asarray(health_check(state, self.cfg)))
+        report = HealthReport.from_flags(flags)
         self.last_report = report
         if not report.ok:
             self.n_failures += 1
