@@ -152,7 +152,11 @@ class SlamConfig:
     #: hyperbolic rank-2 downdates.
     update_mode: str = "batched"
     #: sqrt-factor R computation: "householder" = XLA QR (GSL-faithful,
-    #: SLAM.cpp:2330-2353); "cholqr2" = MXU-dominant CholeskyQR2.
+    #: SLAM.cpp:2330-2353); "cholqr2" = MXU-dominant CholeskyQR2; "gram" =
+    #: single-pass equilibrated CholeskyQR plus structured Gram shortcuts
+    #: (motion predict / deletion form the predicted covariance directly —
+    #: the motion model touches only 3 state dims, so no (2Na x D) QR is
+    #: needed; the TPU fast path).
     qr_mode: str = "householder"
     #: vision hot-loop backend: "pallas" = fused Pallas kernels (NCC
     #: active-search + patch warp), "xla" = grouped-conv/gather formulation,

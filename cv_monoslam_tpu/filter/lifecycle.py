@@ -72,9 +72,23 @@ def fold_delete(x: jnp.ndarray, S: jnp.ndarray, delete: jnp.ndarray,
     dtype = x.dtype
     row_mask = jnp.concatenate(
         [jnp.repeat(delete, 6), jnp.zeros(4, bool)])          # (D,)
-    T = jnp.where(row_mask[None, :], 0.0, S)
-    E = jnp.diag(row_mask.astype(dtype))
-    S_new = qr_r(jnp.concatenate([T, E], axis=0), cfg.qr_mode)
+    if cfg.qr_mode == "gram":
+        # structured Gram: T = S diag(1-m), so [T; E]^T [T; E] is S^T S with
+        # the masked rows+columns zeroed plus the unit diagonal — one D x D
+        # Gram instead of a (2D x D) QR
+        from ..ops.linalg import _chol_psd, gram as _gram
+
+        G = _gram(S)
+        keep = ~row_mask
+        G = jnp.where(keep[:, None] & keep[None, :], G, 0.0)
+        G = G + jnp.diag(row_mask.astype(dtype))
+        d = jnp.sqrt(jnp.maximum(jnp.diag(G), 0.0))
+        d = jnp.where(d > 0, d, 1.0)
+        S_new = _chol_psd(G / (d[:, None] * d[None, :]), 1e-6) * d[None, :]
+    else:
+        T = jnp.where(row_mask[None, :], 0.0, S)
+        E = jnp.diag(row_mask.astype(dtype))
+        S_new = qr_r(jnp.concatenate([T, E], axis=0), cfg.qr_mode)
     defaults = jnp.concatenate(
         [jnp.tile(inactive_feature_defaults(dtype), M), jnp.zeros(4, dtype)])
     x_new = jnp.where(row_mask, defaults, x)

@@ -19,10 +19,12 @@ predict and update (the reference keeps m_sigma across phases).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
 from ..ops import qr_r
+from ..ops.linalg import _chol_psd
 from .sigma import deviations, generate_sigma, ut_weights
 from .state import FilterState, PredictCache, replace
 
@@ -34,6 +36,48 @@ def odometry_control(odo_prev: jnp.ndarray, odo_cur: jnp.ndarray):
     trans = jnp.sqrt(d[0] ** 2 + d[1] ** 2)
     rot2 = odo_cur[2] - odo_prev[2] - rot1
     return rot1, trans, rot2
+
+
+def _motion_sqrt_gram(S: jnp.ndarray, sig: jnp.ndarray, w, D: int,
+                      na: int) -> jnp.ndarray:
+    """Predicted sqrt factor via a structured Gram — no (2Na x D) QR.
+
+    The motion model touches only three state dims R = {x, y, theta}
+    (SLAM.cpp:1518-1524), so the deviation matrix W = wi_sr*(chi_i - chi_0)^T
+    keeps the exact sigma-offset structure +-gamma*S rows in every OTHER
+    column. Writing c = wi_sr, g = gamma and E+/E- for the propagated
+    R-column deviations of the +/- sigma branches:
+
+        G[F,F] = 2 (c g)^2 (S^T S)[F,F]        one D x D Gram (MXU)
+        G[F,R] = c^2 g  S[:,F]^T (E+ - E-)[:D]  thin (D x 3)
+        G[R,R] = c^2 (E+^T E+ + E-^T E-)        3 x 3
+
+    and S' = chol(G) (equilibrated, PD-repaired). Replaces the
+    O(Na * D^2) Householder QR with one Gram at identical UT semantics —
+    accuracy equals single-pass CholeskyQR on the deviations.
+    """
+    dtype = S.dtype
+    c2g2 = 2.0 * (w.wi_sr * w.gamma) ** 2
+    ridx = jnp.array([D - 4, D - 3, D - 1])
+    G = c2g2 * jax.lax.dot_general(
+        S, S, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=dtype)                          # (D, D)
+
+    base = sig[ridx, :1]                                       # (3, 1)
+    Ep = (sig[ridx, 1:na + 1] - base).T                        # (Na, 3)
+    Em = (sig[ridx, na + 1:] - base).T                         # (Na, 3)
+    cross = (w.wi_sr ** 2 * w.gamma) * (S.T @ (Ep[:D] - Em[:D]))  # (D, 3)
+    grr = (w.wi_sr ** 2) * (Ep.T @ Ep + Em.T @ Em)             # (3, 3)
+
+    G = G.at[:, ridx].set(cross)
+    G = G.at[ridx, :].set(cross.T)
+    G = G.at[ridx[:, None], ridx[None, :]].set(grr)
+
+    # equilibrated Cholesky (cf ops.linalg.cholqr)
+    d = jnp.sqrt(jnp.maximum(jnp.diag(G), 0.0))
+    d = jnp.where(d > 0, d, 1.0)
+    r = _chol_psd(G / (d[:, None] * d[None, :]), 1e-6)
+    return r * d[None, :]
 
 
 def motion_predict(state: FilterState, odo_prev: jnp.ndarray,
@@ -76,7 +120,10 @@ def motion_predict(state: FilterState, odo_prev: jnp.ndarray,
     sig = sig.at[D - 1].add(r1 + r2)
 
     x_new = sig[:D] @ w.mean_weights(dtype)
-    S_new = qr_r(deviations(sig[:D], w.wi_sr), cfg.qr_mode)
+    if cfg.qr_mode == "gram":
+        S_new = _motion_sqrt_gram(state.S, sig, w, D, na)
+    else:
+        S_new = qr_r(deviations(sig[:D], w.wi_sr), cfg.qr_mode)
 
     new_state = replace(state, x=x_new, S=S_new)
     cache = PredictCache(

@@ -13,9 +13,14 @@ def qr_r(a: jnp.ndarray, mode: str = "householder") -> jnp.ndarray:
 
     mode "householder": XLA's QR (sequential reflections, reference-faithful
     to GSL QR, SLAM.cpp:2330-2353). mode "cholqr2": MXU-dominant CholeskyQR2.
+    mode "gram": single-pass equilibrated CholeskyQR — one Gram matmul +
+    small Cholesky, the fastest TPU path; structured Gram shortcuts in
+    motion/lifecycle also key off this mode.
     """
     if mode == "cholqr2":
         return cholqr2(a)
+    if mode == "gram":
+        return cholqr(a)
     if mode == "householder":
         return jnp.linalg.qr(a, mode="r")
     raise ValueError(f"unknown qr mode {mode!r}")

@@ -46,9 +46,9 @@ def state_shardings(mesh: Mesh, cfg: SlamConfig) -> FilterState:
         init_patch=lm_shard(3), xyz=lm_shard(2),
     )
     stored = StoredTable(
-        valid=rep, lid=rep, is_loop=rep, n_predict=rep, n_match=rep,
-        state=rep, sr=rep, init_pixel=rep, init_trans=rep, init_theta=rep,
-        init_patch=rep, xyz=rep,
+        valid=rep, stamp=rep, seq=rep, lid=rep, is_loop=rep, n_predict=rep,
+        n_match=rep, state=rep, sr=rep, init_pixel=rep, init_trans=rep,
+        init_theta=rep, init_patch=rep, xyz=rep,
     )
     return FilterState(x=rep, S=rep, lm=lm, stored=stored, next_id=rep,
                        frame=rep)
