@@ -100,6 +100,11 @@ class SlamConfig:
     #: integer match positions (SLAM.cpp:1986-2002), whose constant
     #: per-feature rounding bias integrates into pose drift; off = faithful.
     subpixel_match: bool = True
+    #: reference isThereNoZero quirk (SLAM.cpp:684-696): when any landmark
+    #: has a zero predicted/matched pixel, EVERY new-corner candidate is
+    #: rejected. Off = the engine skips the proximity test against such
+    #: landmarks instead (documented deviation); on for parity runs.
+    detect_zero_blocks: bool = False
     #: skip detection+integration at runtime via lax.cond when the map is
     #: well-tracked (reference trigger SLAM.cpp:552-562). When False the
     #: detection always runs and integration is masked — faster on backends
@@ -151,6 +156,11 @@ class SlamConfig:
     #: "sequential" = reference-faithful per-landmark 2D updates with true
     #: hyperbolic rank-2 downdates.
     update_mode: str = "batched"
+    #: sequential-mode sqrt downdate: "hyperbolic" = true rank-2 rotation
+    #: downdate with PD-skip guard; "gmw" = the reference's
+    #: recompose-refactor with Gill-Murray-Wright repair (SLAM.cpp:2106-2327)
+    #: — bit-faithful to the oracle, used by the parity gate.
+    downdate_mode: str = "hyperbolic"
     #: sqrt-factor R computation: "householder" = XLA QR (GSL-faithful,
     #: SLAM.cpp:2330-2353); "cholqr2" = MXU-dominant CholeskyQR2; "gram" =
     #: single-pass equilibrated CholeskyQR plus structured Gram shortcuts

@@ -258,7 +258,15 @@ def integrate_features(state: FilterState, image: jnp.ndarray,
         jnp.where(vmask6[:, None], ang_vals, sig_out[ang_rows]))
 
     x_new = sig_out @ w.mean_weights(dtype)
-    S_new = qr_r(deviations(sig_out, w.wi_sr), cfg.qr_mode)
+    if cfg.qr_mode == "gram":
+        # structured Gram (motion.structured_sqrt_gram): only the 6*KA
+        # target-slot rows differ from the +-gamma*S sigma structure
+        from .motion import structured_sqrt_gram
+
+        ridx = jnp.concatenate([pos_rows, ang_rows])
+        S_new = structured_sqrt_gram(state.S, sig_out, ridx, w, na)
+    else:
+        S_new = qr_r(deviations(sig_out, w.wi_sr), cfg.qr_mode)
 
     # landmark records (SLAM.cpp:891-946)
     lm = state.lm

@@ -38,36 +38,39 @@ def odometry_control(odo_prev: jnp.ndarray, odo_cur: jnp.ndarray):
     return rot1, trans, rot2
 
 
-def _motion_sqrt_gram(S: jnp.ndarray, sig: jnp.ndarray, w, D: int,
-                      na: int) -> jnp.ndarray:
-    """Predicted sqrt factor via a structured Gram — no (2Na x D) QR.
+def structured_sqrt_gram(S: jnp.ndarray, sig_out: jnp.ndarray,
+                         ridx: jnp.ndarray, w, na: int) -> jnp.ndarray:
+    """Posterior sqrt factor via a structured Gram — no (2Na x D) QR.
 
-    The motion model touches only three state dims R = {x, y, theta}
-    (SLAM.cpp:1518-1524), so the deviation matrix W = wi_sr*(chi_i - chi_0)^T
-    keeps the exact sigma-offset structure +-gamma*S rows in every OTHER
-    column. Writing c = wi_sr, g = gamma and E+/E- for the propagated
-    R-column deviations of the +/- sigma branches:
+    For any UT whose output differs from the prior state only in the rows
+    ``ridx`` (motion predict touches {x, y, theta}, SLAM.cpp:1518-1524;
+    feature integration touches the 6*K new-slot rows, SLAM.cpp:1177-1250),
+    the deviation matrix W = wi_sr*(chi_i - chi_0)^T keeps the exact
+    sigma-offset structure +-gamma*S rows in every OTHER column. Writing
+    c = wi_sr, g = gamma and E+/E- for the propagated ridx-column deviations
+    of the +/- sigma branches (the augmented noise rows k >= D have zero
+    entries in the untouched columns):
 
-        G[F,F] = 2 (c g)^2 (S^T S)[F,F]        one D x D Gram (MXU)
-        G[F,R] = c^2 g  S[:,F]^T (E+ - E-)[:D]  thin (D x 3)
-        G[R,R] = c^2 (E+^T E+ + E-^T E-)        3 x 3
+        G[F,F] = 2 (c g)^2 (S^T S)[F,F]         one D x D Gram (MXU)
+        G[F,R] = c^2 g  S[:,F]^T (E+ - E-)[:D]   thin (D x |R|)
+        G[R,R] = c^2 (E+^T E+ + E-^T E-)         |R| x |R|
 
     and S' = chol(G) (equilibrated, PD-repaired). Replaces the
     O(Na * D^2) Householder QR with one Gram at identical UT semantics —
     accuracy equals single-pass CholeskyQR on the deviations.
     """
     dtype = S.dtype
+    D = S.shape[0]
     c2g2 = 2.0 * (w.wi_sr * w.gamma) ** 2
-    ridx = jnp.array([D - 4, D - 3, D - 1])
     G = c2g2 * jax.lax.dot_general(
         S, S, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=dtype)                          # (D, D)
 
-    base = sig[ridx, :1]                                       # (3, 1)
-    Ep = (sig[ridx, 1:na + 1] - base).T                        # (Na, 3)
-    Em = (sig[ridx, na + 1:] - base).T                         # (Na, 3)
-    cross = (w.wi_sr ** 2 * w.gamma) * (S.T @ (Ep[:D] - Em[:D]))  # (D, 3)
-    grr = (w.wi_sr ** 2) * (Ep.T @ Ep + Em.T @ Em)             # (3, 3)
+    base = sig_out[ridx, :1]                                   # (|R|, 1)
+    Ep = (sig_out[ridx, 1:na + 1] - base).T                    # (Na, |R|)
+    Em = (sig_out[ridx, na + 1:] - base).T                     # (Na, |R|)
+    cross = (w.wi_sr ** 2 * w.gamma) * (S.T @ (Ep[:D] - Em[:D]))
+    grr = (w.wi_sr ** 2) * (Ep.T @ Ep + Em.T @ Em)             # (|R|, |R|)
 
     G = G.at[:, ridx].set(cross)
     G = G.at[ridx, :].set(cross.T)
@@ -78,6 +81,12 @@ def _motion_sqrt_gram(S: jnp.ndarray, sig: jnp.ndarray, w, D: int,
     d = jnp.where(d > 0, d, 1.0)
     r = _chol_psd(G / (d[:, None] * d[None, :]), 1e-6)
     return r * d[None, :]
+
+
+def _motion_sqrt_gram(S: jnp.ndarray, sig: jnp.ndarray, w, D: int,
+                      na: int) -> jnp.ndarray:
+    return structured_sqrt_gram(S, sig[:D], jnp.array([D - 4, D - 3, D - 1]),
+                                w, na)
 
 
 def motion_predict(state: FilterState, odo_prev: jnp.ndarray,

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
-from ..frontend.detect import detect_corners, select_new_corners
+from ..frontend.detect import (candidate_filters, escalate_raws,
+                               gftt_candidates, select_new_corners)
 from ..frontend.matching import data_association
 from ..utils.watchdog import health_check
 from .lifecycle import (integrate_features, project_stored, readd_stored,
@@ -32,32 +33,64 @@ from .update import kalman_update
 
 def add_features(state: FilterState, image: jnp.ndarray, cfg: SlamConfig,
                  is_redirect: bool = False,
-                 should_add: jnp.ndarray | bool = True) -> FilterState:
-    """Detection + filtering + integration (addFeatures, SLAM.cpp:552-562).
+                 should_add: jnp.ndarray | bool = True,
+                 is_initial: bool = False) -> FilterState:
+    """Detection + filtering + integration (addFeatures, SLAM.cpp:552-562)
+    including the insureEnoughFeatures raw-count escalation
+    (SLAM.cpp:777-808).
 
-    ``is_redirect`` is static (separate trace per branch); ``should_add``
-    is a traced bool masking the whole operation.
+    ``is_redirect``/``is_initial`` are static (separate trace per branch);
+    ``should_add`` is a traced bool masking the whole operation.
     """
     lm = state.lm
+    # proximity set: every active landmark's predicted + matched pixel.
+    # The raw persisted fields are used (never-predicted/never-matched slots
+    # hold zeros) — exactly the reference's stale-field semantics
+    # (SLAM.cpp:663-705; the zero check feeds isThereNoZero)
     avoid = jnp.concatenate([lm.pred, lm.match_px], axis=0)
-    avoid_valid = jnp.concatenate(
-        [lm.active & lm.visible, lm.active & lm.matched])
-    pix, kept, resp = detect_corners(image, cfg, avoid, avoid_valid)
+    avoid_valid = jnp.concatenate([lm.active, lm.active])
+    n_matched = jnp.sum(lm.matched & lm.active)
+    n_map = jnp.sum(lm.active)
+    base = (cfg.n_initial_raws if (is_initial or is_redirect)
+            else cfg.n_process_raws)
+
+    pix, kept, raw_rank, resp = gftt_candidates(image, cfg)
+    fok = candidate_filters(pix, cfg, avoid, avoid_valid, n_matched)
 
     if is_redirect:
         # loop-point detection: corners near a stored feature's projected
         # pixel re-add that feature instead of creating a new one
-        # (SLAM.cpp:618-638, 699-729)
-        sp = project_stored(state, cfg)                      # (K, 2)
+        # (SLAM.cpp:618-638, 699-729). Loop re-adds count toward the
+        # escalation target like the reference's loop_ids.
+        sp = project_stored(state, cfg)                      # (Ks, 2)
         sp_ok = state.stored.valid & jnp.any(sp != 0.0, axis=-1)
         d2 = jnp.sum((pix[:, None, :] - sp[None, :, :]) ** 2, axis=-1)
-        near = (d2 < cfg.min_dist2) & sp_ok[None, :] & kept[:, None]
-        readd_mask = jnp.any(near, axis=0)                   # per stored
-        kept = kept & ~jnp.any(near, axis=1)                 # corner used
+        near = (d2 < cfg.min_dist2) & sp_ok[None, :] \
+            & (kept & fok)[:, None]                          # (K, Ks)
+        new_ok = kept & fok & ~jnp.any(near, axis=1)
+
+        max_raws = 30
+        steps = max(1, -(-(max_raws - base) // max(cfg.min_num, 1)) + 1)
+        ladder = jnp.minimum(base + cfg.min_num * jnp.arange(steps),
+                             max_raws)
+        in_r = raw_rank[None, :] < ladder[:, None]           # (steps, K)
+        counts = jnp.sum(new_ok[None, :] & in_r, axis=1)
+        loops = jnp.sum(
+            jnp.any(near[None, :, :] & in_r[:, :, None], axis=1), axis=1)
+        enough = (n_map + counts + loops) >= cfg.min_num
+        idx = jnp.where(jnp.any(enough), jnp.argmax(enough), steps - 1)
+        raws = ladder[idx]
+
+        readd_mask = jnp.any(near & (raw_rank < raws)[:, None], axis=0)
+        kept_final = new_ok & (raw_rank < raws)
         state = readd_stored(state, readd_mask, cfg)
+    else:
+        raws = escalate_raws(kept, raw_rank, fok, n_map,
+                             jnp.asarray(0), base, cfg)
+        kept_final = kept & fok & (raw_rank < raws)
 
     n_free = jnp.sum(~state.lm.active)
-    corners, valid = select_new_corners(pix, kept, resp,
+    corners, valid = select_new_corners(pix, kept_final, resp,
                                         cfg.max_new_per_frame, n_free)
     valid = valid & jnp.asarray(should_add)
     return integrate_features(state, image, corners, valid, cfg)
@@ -68,7 +101,7 @@ def initialize(state: FilterState, image: jnp.ndarray,
     """Initial map construction (initializeParameters -> addFeatures,
     SLAM.cpp:348-350)."""
     return add_features(state, image, cfg, is_redirect=False,
-                        should_add=True)
+                        should_add=True, is_initial=True)
 
 
 def slam_step(state: FilterState, image: jnp.ndarray, odo_prev: jnp.ndarray,

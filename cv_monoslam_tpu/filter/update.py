@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
-from ..ops import chol_downdate, gram, tri_solve
+from ..ops import chol_downdate, gmw_chol, gram, tri_solve
 from ..ops.linalg import _chol_psd
 from .sigma import ut_weights
 from .state import FilterState, PredictCache, replace
@@ -132,7 +132,14 @@ def _update_sequential(state: FilterState, cache: PredictCache,
             k = tri_solve(si, tri_solve(si, pxy.T, trans=True)).T  # (D, 2)
             x_new = x + k @ nu_all[m]
             u = (k @ si.T).T                           # (2, D): U U^T = K Pyy K^T
-            S_new = chol_downdate(S, u)
+            if cfg.downdate_mode == "gmw":
+                # reference recompose-refactor (SLAM.cpp:2106-2327): one
+                # column at a time, Gill-Murray-Wright PD repair
+                S_new = S
+                for col in range(2):
+                    S_new = gmw_chol(gram(S_new) - jnp.outer(u[col], u[col]))
+            else:
+                S_new = chol_downdate(S, u)
             return x_new, S_new
 
         x, S = jax.lax.cond(lm.matched[m], do, lambda x, S: (x, S), x, S)

@@ -5,16 +5,24 @@ Replaces the reference's GoodFeaturesToTrackDetector + serial filter loops
 static top-K selection, and a masked greedy min-distance pass — all static
 shapes, MXU-friendly.
 
-Reference rules reproduced:
-  * min-eigenvalue corner measure, quality threshold = quality_level * max
-    response, min distance between corners (SLAM.cpp:599-600);
-  * candidates at least dist_to_border px inside the image (SLAM.cpp:650);
-  * candidates at least min_dist px from every active landmark's predicted
-    AND matched pixel (SLAM.cpp:663-705).
+Reference flow reproduced exactly (SLAM.cpp:574-808):
+  1. GFTT: min-eigenvalue response, quality threshold = quality_level * max
+     response over the FULL image, greedy min-dist separation over
+     response-sorted peaks, capped at ``n_raws`` corners (SLAM.cpp:599-600).
+     ``n_raws`` may be traced — the insureEnoughFeatures escalation
+     (SLAM.cpp:777-808) re-runs with raws += minNUM up to 30 when the map
+     would stay starved; here the whole ladder is evaluated in one pass
+     (raw membership is a prefix of the greedy order, so survivors(r) is a
+     masked count, not a re-detection).
+  2. Downstream filters on the raw set: >= dist_to_border px inside the
+     image (SLAM.cpp:650-651), >= min_dist px from every landmark's
+     predicted AND matched pixel (SLAM.cpp:663-705; skipped entirely when
+     nothing is matched, as the reference does).
 
-Documented deviation: the reference rejects every candidate whenever any
-landmark has a zero predicted/matched pixel (SLAM.cpp:684-696's
-isThereNoZero flag); we instead simply skip the proximity test against such
+Documented deviation (off by default, on for parity runs): the reference
+rejects EVERY candidate whenever any landmark has a zero predicted/matched
+pixel (SLAM.cpp:684-696's isThereNoZero flag) — ``cfg.detect_zero_blocks``
+reproduces that; the default instead skips the proximity test against such
 landmarks.
 """
 
@@ -27,50 +35,49 @@ from ..config import SlamConfig
 
 
 def corner_response(image: jnp.ndarray, block_size: int = 3) -> jnp.ndarray:
-    """Min-eigenvalue (Shi-Tomasi) response map, (H, W) float32."""
+    """Min-eigenvalue (Shi-Tomasi) response map, (H, W) float32.
+
+    Edge-replicate padding (the reference's OpenCV borderType default and
+    the oracle's scipy ``mode="nearest"``) so image borders don't produce
+    artificial gradient peaks.
+    """
     img = image.astype(jnp.float32)
     sob = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]],
                     jnp.float32) / 8.0
 
-    def conv(x, k):
+    def conv_same_edge(x, k):
+        p = k.shape[0] // 2
+        xp = jnp.pad(x, p, mode="edge")
         return jax.lax.conv_general_dilated(
-            x[None, None], k[None, None], (1, 1), "SAME",
+            xp[None, None], k[None, None], (1, 1), "VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
 
-    gx = conv(img, sob)
-    gy = conv(img, sob.T)
+    gx = conv_same_edge(img, sob)
+    gy = conv_same_edge(img, sob.T)
     box = jnp.ones((block_size, block_size), jnp.float32) / (block_size ** 2)
-    ixx = conv(gx * gx, box)
-    iyy = conv(gy * gy, box)
-    ixy = conv(gx * gy, box)
+    ixx = conv_same_edge(gx * gx, box)
+    iyy = conv_same_edge(gy * gy, box)
+    ixy = conv_same_edge(gx * gy, box)
     tr = ixx + iyy
     disc = jnp.sqrt(jnp.maximum(((ixx - iyy) * 0.5) ** 2 + ixy * ixy, 0.0))
     return tr * 0.5 - disc
 
 
-def detect_corners(image: jnp.ndarray, cfg: SlamConfig,
-                   avoid: jnp.ndarray | None = None,
-                   avoid_valid: jnp.ndarray | None = None):
-    """Detect up to cfg.max_detections corners.
+def gftt_candidates(image: jnp.ndarray, cfg: SlamConfig):
+    """GoodFeaturesToTrack core: response-sorted, min-dist-separated peaks.
 
-    avoid: (Q, 2) pixels new corners must keep min_dist from (e.g. active
-    landmarks' predicted + matched positions); avoid_valid: (Q,) mask.
-    Returns (pix (K, 2) float, valid (K,) bool, response (K,)) sorted by
-    response, already border-filtered, NMS'd, min-dist-separated.
+    Returns (pix (K, 2) float, kept (K,) bool, raw_rank (K,) int32, resp
+    (K,)) where ``kept`` marks greedy min-dist survivors in response order
+    and ``raw_rank`` is each survivor's 0-based position in the greedy
+    sequence (the reference caps this list at its raws count). K =
+    cfg.max_detections.
     """
     K = cfg.max_detections
     H, W = image.shape
     resp = corner_response(image, cfg.block_size)
 
-    # border filter first (DIST_2_BORDER, SLAM.cpp:650) — also keeps the
-    # zero-pad convolution artefacts at the image edge out of the
-    # quality-threshold max
-    b = cfg.dist_to_border
-    vv, uu = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
-    inside = (uu >= b) & (uu <= W - b) & (vv >= b) & (vv <= H - b)
-    resp = jnp.where(inside, resp, 0.0)
-
-    # 3x3 non-max suppression + quality threshold (SLAM.cpp:599-600)
+    # 3x3 non-max suppression + quality threshold over the FULL map
+    # (GoodFeaturesToTrack semantics, SLAM.cpp:599-600)
     mx = jax.lax.reduce_window(resp, -jnp.inf, jax.lax.max, (3, 3), (1, 1),
                                "SAME")
     is_peak = (resp >= mx) & (resp > cfg.quality_level * resp.max())
@@ -79,27 +86,95 @@ def detect_corners(image: jnp.ndarray, cfg: SlamConfig,
     top, idx = jax.lax.top_k(score.reshape(-1), K)
     py, px = jnp.divmod(idx, W)
     pix = jnp.stack([px, py], axis=1).astype(jnp.float32)
-    valid = top > -jnp.inf
+    cand = top > -jnp.inf
 
-    # proximity to existing landmarks (pred & match)
-    if avoid is not None:
-        d2 = jnp.sum((pix[:, None, :] - avoid[None, :, :]) ** 2, axis=-1)
-        nz = avoid_valid & jnp.any(avoid != 0.0, axis=-1)
-        near = jnp.any((d2 < cfg.min_dist2) & nz[None, :], axis=1)
-        valid = valid & ~near
-
-    # greedy min-dist among candidates (ordered by response)
+    # greedy min-dist in response order (GFTT's internal separation)
     md2 = cfg.min_dist2
 
     def body(kept, i):
         d2 = jnp.sum((pix - pix[i]) ** 2, axis=1)
         clash = jnp.any(kept & (d2 < md2))
-        keep_i = valid[i] & ~clash
+        keep_i = cand[i] & ~clash
         return kept.at[i].set(keep_i), keep_i
 
     kept0 = jnp.zeros(K, bool)
     _, kept = jax.lax.scan(body, kept0, jnp.arange(K))
-    return pix, kept, top
+    raw_rank = jnp.cumsum(kept.astype(jnp.int32)) - 1
+    return pix, kept, raw_rank, top
+
+
+def candidate_filters(pix: jnp.ndarray, cfg: SlamConfig,
+                      avoid: jnp.ndarray | None,
+                      avoid_valid: jnp.ndarray | None,
+                      n_matched: jnp.ndarray | int = 0) -> jnp.ndarray:
+    """Border + landmark-proximity filters on raw corners (SLAM.cpp:650-705).
+
+    Returns an acceptance mask (K,). The proximity test is skipped when
+    ``n_matched`` is zero (the reference only filters against landmarks once
+    something is matched, SLAM.cpp:663-671).
+    """
+    W, H = cfg.camera.width, cfg.camera.height
+    b = cfg.dist_to_border
+    ok = ((pix[:, 0] >= b) & (pix[:, 0] <= W - b)
+          & (pix[:, 1] >= b) & (pix[:, 1] <= H - b))
+    if avoid is not None:
+        nz = avoid_valid & jnp.any(avoid != 0.0, axis=-1)
+        d2 = jnp.sum((pix[:, None, :] - avoid[None, :, :]) ** 2, axis=-1)
+        near = jnp.any((d2 < cfg.min_dist2) & nz[None, :], axis=1)
+        any_matched = jnp.asarray(n_matched) > 0
+        ok = ok & (~near | ~any_matched)
+        if cfg.detect_zero_blocks:
+            # reference isThereNoZero: any landmark with a zeroed pixel
+            # rejects every candidate (SLAM.cpp:684-696)
+            has_zero = jnp.any(avoid_valid & ~jnp.any(avoid != 0.0, axis=-1))
+            ok = ok & (~has_zero | ~any_matched)
+    return ok
+
+
+def escalate_raws(kept: jnp.ndarray, raw_rank: jnp.ndarray,
+                  filters_ok: jnp.ndarray, n_map: jnp.ndarray,
+                  n_loop: jnp.ndarray, base_raws: int,
+                  cfg: SlamConfig) -> jnp.ndarray:
+    """insureEnoughFeatures (SLAM.cpp:777-808) in one pass.
+
+    The reference re-detects with raws += minNUM (up to 30) until
+    map + additions >= minNUM. Raw sets for increasing caps are prefixes of
+    the same greedy sequence, so each ladder step's survivor count is a
+    masked count; returns the chosen raw cap (traced scalar int32).
+    """
+    max_raws = 30
+    steps = max(1, -(-(max_raws - base_raws) // max(cfg.min_num, 1)) + 1)
+    ladder = jnp.minimum(base_raws + cfg.min_num * jnp.arange(steps), max_raws)
+    ok = kept & filters_ok
+    counts = jnp.sum(
+        ok[None, :] & (raw_rank[None, :] < ladder[:, None]), axis=1)
+    enough = (n_map + n_loop + counts) >= cfg.min_num
+    first = jnp.argmax(enough)
+    idx = jnp.where(jnp.any(enough), first, steps - 1)
+    return ladder[idx]
+
+
+def detect_corners(image: jnp.ndarray, cfg: SlamConfig,
+                   avoid: jnp.ndarray | None = None,
+                   avoid_valid: jnp.ndarray | None = None,
+                   n_matched: jnp.ndarray | int = 0,
+                   n_map: jnp.ndarray | int = 0,
+                   n_loop: jnp.ndarray | int = 0,
+                   base_raws: int | None = None):
+    """Full reference detection pipeline.
+
+    Returns (pix (K, 2), valid (K,), resp (K,)) where ``valid`` marks
+    corners inside the (possibly escalated) raw cap that pass every filter,
+    in response order.
+    """
+    if base_raws is None:
+        base_raws = cfg.n_process_raws
+    pix, kept, raw_rank, resp = gftt_candidates(image, cfg)
+    fok = candidate_filters(pix, cfg, avoid, avoid_valid, n_matched)
+    raws = escalate_raws(kept, raw_rank, fok, jnp.asarray(n_map),
+                         jnp.asarray(n_loop), base_raws, cfg)
+    valid = kept & fok & (raw_rank < raws)
+    return pix, valid, resp
 
 
 def select_new_corners(pix: jnp.ndarray, kept: jnp.ndarray, resp: jnp.ndarray,

@@ -4,8 +4,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .linalg import (chol_downdate, chol_update, cholqr, cholqr2, gram,
-                     tri_solve)
+from .linalg import (chol_downdate, chol_update, cholqr, cholqr2, gmw_chol,
+                     gram, tri_solve)
 
 
 def qr_r(a: jnp.ndarray, mode: str = "householder") -> jnp.ndarray:
@@ -26,5 +26,5 @@ def qr_r(a: jnp.ndarray, mode: str = "householder") -> jnp.ndarray:
     raise ValueError(f"unknown qr mode {mode!r}")
 
 
-__all__ = ["chol_downdate", "chol_update", "cholqr", "cholqr2", "gram",
-           "tri_solve", "qr_r"]
+__all__ = ["chol_downdate", "chol_update", "cholqr", "cholqr2", "gmw_chol",
+           "gram", "tri_solve", "qr_r"]

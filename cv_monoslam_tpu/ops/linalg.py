@@ -84,6 +84,49 @@ def tri_solve(r: jnp.ndarray, b: jnp.ndarray, *, trans: bool = False,
     return jax.scipy.linalg.solve_triangular(r, b, lower=lower)
 
 
+def gmw_chol(a: jnp.ndarray) -> jnp.ndarray:
+    """Gill-Murray-Wright modified Cholesky: upper-triangular S with
+    S^T S = A + E, E a minimal diagonal making A PD — the reference's
+    forced-PD refactorization (SLAM.cpp:2197-2327), jit-compiled as a
+    right-looking LDL^T scan (one rank-1 trailing update per pivot).
+
+    Matches models.oracle.gmw_cholesky bit-for-bit in float64: identical
+    delta / beta^2 pivot floors, so the engine's reference-faithful
+    sequential update (downdate_mode="gmw") reproduces the reference's
+    covariance repair exactly.
+    """
+    import numpy as np
+
+    n = a.shape[0]
+    dtype = a.dtype
+    eps = float(np.finfo(np.dtype(dtype.name)).eps)
+    diag = jnp.diag(a)
+    gamma = jnp.maximum(jnp.max(jnp.abs(diag)), eps)
+    off = a - jnp.diag(diag)
+    xi = jnp.maximum(jnp.max(jnp.abs(off)) if n > 1 else jnp.asarray(0.0),
+                     eps)
+    delta = eps * jnp.maximum(gamma + xi, 1.0)
+    beta2 = jnp.maximum(jnp.maximum(
+        gamma, xi / max(float(np.sqrt(n * n - 1.0)), 1.0)), eps)
+    idx = jnp.arange(n)
+
+    def body(carry, j):
+        aw, s = carry
+        cjj = aw[j, j]
+        col = jnp.where(idx > j, aw[:, j], 0.0)
+        theta = jnp.max(jnp.abs(col))
+        dj = jnp.maximum(jnp.maximum(jnp.abs(cjj), theta * theta / beta2),
+                         delta)
+        low = col / dj                       # L[:, j] strictly below diag
+        lfull = low.at[j].set(1.0)
+        aw = aw - dj * jnp.outer(low, low)
+        s = s.at[j].set(jnp.sqrt(dj) * lfull)
+        return (aw, s), None
+
+    (_, s), _ = jax.lax.scan(body, (a, jnp.zeros_like(a)), jnp.arange(n))
+    return s
+
+
 def _rank1_rotate(r: jnp.ndarray, u: jnp.ndarray, downdate: bool,
                   eps: float) -> jnp.ndarray:
     """One rank-1 sqrt update/downdate by a scan of plane rotations.

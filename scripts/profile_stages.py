@@ -109,8 +109,9 @@ CONFIGS = {
     "cholqr2": dict(qr_mode="cholqr2"),
     "gram": dict(update_mode="gram"),
     "gram+cholqr2": dict(update_mode="gram", qr_mode="cholqr2"),
-    "gram+cholqr2+gate": dict(update_mode="gram", qr_mode="cholqr2",
-                              gate_detection=True),
+    "mxu": dict(update_mode="gram", qr_mode="gram"),
+    "mxu+gate": dict(update_mode="gram", qr_mode="gram",
+                     gate_detection=True),
 }
 
 

@@ -90,6 +90,31 @@ def test_fold_delete_gram_matches_householder():
                                rtol=1e-8, atol=1e-11)
 
 
+def test_integrate_gram_matches_householder():
+    import jax
+
+    cfg_h = SlamConfig(max_landmarks=8, max_new_per_frame=4,
+                       dtype="float64", qr_mode="householder")
+    cfg_g = dataclasses.replace(cfg_h, qr_mode="gram")
+    state = _populated_state(cfg_h, n_active=4)
+    rng = np.random.default_rng(3)
+    image = jnp.asarray(rng.uniform(0, 255, (cfg_h.camera.height,
+                                             cfg_h.camera.width)))
+    corners = jnp.asarray([[120.0, 90.0], [300.0, 220.0],
+                           [500.0, 400.0], [50.0, 50.0]])
+    valid = jnp.asarray([True, True, False, True])
+
+    from cv_monoslam_tpu.filter.lifecycle import integrate_features
+
+    s_h = integrate_features(state, image, corners, valid, cfg_h)
+    s_g = integrate_features(state, image, corners, valid, cfg_g)
+    np.testing.assert_allclose(np.asarray(s_g.x), np.asarray(s_h.x),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_g.S.T @ s_g.S),
+                               np.asarray(s_h.S.T @ s_h.S),
+                               rtol=1e-8, atol=1e-11)
+
+
 def test_motion_gram_f32_large_state():
     """BASELINE config 3 prerequisite: the structured Gram stays finite and
     accurate at a large state dim in float32 (where a Householder QR of the

@@ -1,0 +1,104 @@
+"""Engine-vs-oracle parity gate (SURVEY.md §4 item 4, BASELINE.json metric).
+
+Runs ``OracleSLAM`` (serial NumPy transcription of the reference's math) and
+``SlamSession`` in reference-faithful mode — sequential update with the
+GMW recompose-refactor downdate, flat rho init, integer matches,
+isThereNoZero detection quirk, float64 — on the same synthetic sequences
+and asserts:
+
+  * bit-level trajectory agreement over the leading frames (the filter,
+    detection, association, update, and lifecycle semantics all agree to
+    float64 roundoff);
+  * identical per-frame landmark maps and match sets over that window.
+
+Beyond the window the system is chaotic: a single NCC score differing in
+the last ulp flips a knife-edge match acceptance and the runs diverge (the
+reference's own sequential update is the source of the chaos — its stale
+sigma reuse double-counts information and relies on forced-PD repair,
+SLAM.cpp:2048-2155). The window bounds below are therefore the meaningful
+parity statement; scripts/parity.py prints the full divergence table.
+"""
+
+import numpy as np
+import pytest
+
+from cv_monoslam_tpu.api import SlamSession
+from cv_monoslam_tpu.config import SlamConfig
+from cv_monoslam_tpu.models.oracle import OracleSLAM
+
+FAITHFUL = dict(max_landmarks=16, dtype="float64", update_mode="sequential",
+                rho_init_mode="flat", subpixel_match=False,
+                qr_mode="householder", detect_zero_blocks=True,
+                downdate_mode="gmw")
+
+
+def _engine_sets(state):
+    lm = state.lm
+    act = np.asarray(lm.active)
+    lid = np.asarray(lm.lid)
+    mt = np.asarray(lm.matched)
+    return (sorted(int(l) for l, a in zip(lid, act) if a),
+            sorted(int(l) for l, a, m in zip(lid, act, mt) if a and m))
+
+
+@pytest.mark.parametrize("kind,n_exact,tol", [("straight", 3, 1e-6),
+                                              ("arc", 2, 1e-9)])
+def test_engine_matches_oracle_prefix(kind, n_exact, tol, tiny_sequence):
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from experiment import get_sequence
+
+    seq, track, gt_xy, gt_th = get_sequence(kind, 18, 0)
+    cfg = SlamConfig(**FAITHFUL)
+    oracle = OracleSLAM(cfg, seq, track)
+    sess = SlamSession(cfg, seq, track)
+
+    # initial maps identical (detection + integration parity)
+    omap = sorted(l.lid for l in oracle.landmarks)
+    emap, _ = _engine_sets(sess.state)
+    assert omap == emap
+
+    for k in range(n_exact):
+        oracle.step()
+        rec = sess.step()
+        emap, ematch = _engine_sets(sess.state)
+        omap = sorted(l.lid for l in oracle.landmarks)
+        omatch = sorted(l.lid for l in oracle.landmarks if l.matched)
+        assert omap == emap, f"frame {k + 1} maps diverge"
+        assert omatch == ematch, f"frame {k + 1} match sets diverge"
+        d = np.abs(np.asarray(rec.pose) - oracle.x[-4:]).max()
+        assert d < tol, f"frame {k + 1} pose diverged: {d}"
+
+
+def test_first_update_posterior_bitwise(tiny_sequence):
+    """Full-state posterior (x and P) parity after one frame — pins the
+    GMW recompose-refactor downdate against the oracle's."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from experiment import get_sequence
+
+    seq, track, _, _ = get_sequence("straight", 18, 0)
+    cfg = SlamConfig(**FAITHFUL)
+    oracle = OracleSLAM(cfg, seq, track)
+    sess = SlamSession(cfg, seq, track)
+    oracle.step()
+    sess.step()
+
+    lm = sess.state.lm
+    act = np.asarray(lm.active)
+    lid = np.asarray(lm.lid)
+    ex = np.asarray(sess.state.x)
+    eS = np.asarray(sess.state.S)
+    eP = eS.T @ eS
+    rows = []
+    for ol in oracle.landmarks:
+        s = int(np.flatnonzero(act & (lid == ol.lid))[0])
+        rows += list(range(6 * s, 6 * s + 6))
+    rows += [len(ex) - 4 + i for i in range(4)]
+    rows = np.asarray(rows)
+    oP = oracle.S.T @ oracle.S
+    np.testing.assert_allclose(ex[rows], oracle.x, rtol=0, atol=1e-10)
+    np.testing.assert_allclose(eP[np.ix_(rows, rows)], oP, rtol=0,
+                               atol=1e-9)
