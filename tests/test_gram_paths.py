@@ -104,15 +104,23 @@ def test_integrate_gram_matches_householder():
                            [500.0, 400.0], [50.0, 50.0]])
     valid = jnp.asarray([True, True, False, True])
 
+    import jax as _jax
+
+    state = _jax.tree.map(jnp.asarray, state)   # eager call needs jnp leaves
+
     from cv_monoslam_tpu.filter.lifecycle import integrate_features
 
     s_h = integrate_features(state, image, corners, valid, cfg_h)
     s_g = integrate_features(state, image, corners, valid, cfg_g)
     np.testing.assert_allclose(np.asarray(s_g.x), np.asarray(s_h.x),
                                rtol=1e-10, atol=1e-12)
+    # feature init makes the augmented covariance exactly rank-deficient
+    # (new-slot positions duplicate the robot position — the reference's
+    # pivoted-Cholesky rank handling exists for this, SLAM.cpp:2158-2179);
+    # the Gram path repairs with a 1e-6-scaled diagonal, hence the atol
     np.testing.assert_allclose(np.asarray(s_g.S.T @ s_g.S),
                                np.asarray(s_h.S.T @ s_h.S),
-                               rtol=1e-8, atol=1e-11)
+                               rtol=1e-5, atol=3e-6)
 
 
 def test_motion_gram_f32_large_state():
