@@ -72,11 +72,17 @@ def cmd_run(args) -> int:
     out_dir = args.out or "slam_out"
     os.makedirs(out_dir, exist_ok=True)
 
-    if args.images and args.odometry:
+    if (args.images or args.video) and args.odometry:
         track = load_odometry_file(
             args.odometry, min_step_xy=cfg.min_step_xy,
             min_step_theta=cfg.min_step_theta, capacity=cfg.capacity)
-        images = ImageSequence(pattern=args.images)
+        if args.video:
+            # reference m_playType video mode (SLAM.cpp:288-309)
+            from .io.video import VideoSequence
+
+            images = VideoSequence(args.video)
+        else:
+            images = ImageSequence(pattern=args.images)
         gt_xy = None
     else:
         # synthetic debug-model run (reference debug paths, SLAM.cpp:205-213)
@@ -102,7 +108,7 @@ def cmd_run(args) -> int:
     else:
         sess = SlamSession(cfg, images, track, **kw)
 
-    n = args.frames if args.images else None
+    n = args.frames if (args.images or args.video) else None
     sess.run(n, chunk=args.chunk)
     traj = sess.trajectory
     np.savez(os.path.join(out_dir, "trajectory.npz"),
@@ -184,6 +190,7 @@ def main(argv=None) -> int:
 
     pr = sub.add_parser("run", help="run SLAM (AUTO mode)")
     pr.add_argument("--images", help="printf pattern, e.g. data/%%04d.jpg")
+    pr.add_argument("--video", help=".avi video file (reference video play mode)")
     pr.add_argument("--odometry", help="reference-format odometry text file")
     pr.add_argument("--traj", default="arc",
                     help="synthetic trajectory if no dataset given")
