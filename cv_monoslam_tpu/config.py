@@ -88,7 +88,10 @@ class SlamConfig:
 
     # ---- matching (SLAM.cpp:184-186) ----
     threshold_match_patch: float = 0.8  # NCC acceptance threshold
-    threshold_ransac: float = 8.0       # kept for API parity (RANSAC path)
+    #: 1-point RANSAC innovation-consensus radius in pixels
+    #: (frontend.matching.one_point_ransac; the reference's unfinished
+    #: RANSAC branch, SLAM.cpp:2097-2103, 3900-3988)
+    threshold_ransac: float = 8.0
     use_ransac: bool = False
     #: half-sizes: init patch 21x21, match patch 17x17 (HP_INIT_W/H=10,
     #: HP_MATCH_W/H=8, SLAM.cpp:41-44)

@@ -228,6 +228,8 @@ def data_association(state: FilterState, image: jnp.ndarray,
         mv = mv + dv
 
     match_px = jnp.stack([mu, mv], axis=1)
+    if cfg.use_ransac:
+        accepted = one_point_ransac(accepted, match_px, lm.pred, cfg)
     lm_new = replace(
         lm,
         matched=accepted,
@@ -235,6 +237,34 @@ def data_association(state: FilterState, image: jnp.ndarray,
         n_match=lm.n_match + accepted.astype(jnp.int32),
     )
     return replace(state, lm=lm_new)
+
+
+def one_point_ransac(accepted: jnp.ndarray, match_px: jnp.ndarray,
+                     pred: jnp.ndarray, cfg: SlamConfig) -> jnp.ndarray:
+    """1-point RANSAC over innovation consensus (SLAM.cpp:2097-2103's
+    commented-out branch; helper sketches 3900-3988).
+
+    The odometry prior already fixes the pose up to its residual error; for
+    a ceiling camera observing a quasi-planar scene, that residual induces
+    an approximately COMMON pixel innovation across all landmarks — one
+    match (one point) therefore determines the hypothesis. Each accepted
+    match m proposes its own innovation nu_m; inliers agree within
+    ``threshold_ransac`` pixels; the largest consensus wins and
+    non-consenting matches are rejected (mis-associations from NCC
+    ambiguity). All pairs evaluated at once — (M, M) distance matrix
+    instead of sampling.
+
+    With <= 2 accepted matches consensus is meaningless: all kept.
+    """
+    nu = match_px - pred                                   # (M, 2)
+    d2 = jnp.sum((nu[:, None, :] - nu[None, :, :]) ** 2, axis=-1)
+    thr2 = cfg.threshold_ransac ** 2
+    agree = (d2 < thr2) & accepted[None, :] & accepted[:, None]
+    votes = jnp.sum(agree, axis=1)                         # (M,)
+    best = jnp.argmax(jnp.where(accepted, votes, -1))
+    inlier = agree[best]
+    n_acc = jnp.sum(accepted)
+    return jnp.where(n_acc > 2, accepted & inlier, accepted)
 
 
 def _parabolic(scores: jnp.ndarray, by: jnp.ndarray, bx: jnp.ndarray,
