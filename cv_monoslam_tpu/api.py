@@ -25,6 +25,48 @@ from .utils.profiling import FrameTimer
 from .utils.watchdog import Watchdog
 
 
+# Telemetry packing: the per-frame outputs of slam_step are merged into ONE
+# flat f32 row on-device so a chunked scan (or single step) pays exactly one
+# device->host transfer for telemetry. On tunneled TPU backends every
+# transfer carries round-trip latency that dwarfs the 7 KB payload — 12
+# separate np.asarray fetches were the dominant cost of the whole frame.
+_SCALAR_FIELDS = 15          # pose 4 + sqrt_cov 4 + 3 counters + redirect
+#                              + health 3
+
+
+def _pack_row(out: dict, M: int) -> jnp.ndarray:
+    f32 = jnp.float32
+    return jnp.concatenate([
+        out["pose"].astype(f32),
+        out["pose_sqrt_cov"].astype(f32),
+        jnp.stack([out["n_map"], out["n_visible"],
+                   out["n_matched"]]).astype(f32),
+        out["redirected"].astype(f32)[None],
+        out["health"].astype(f32),
+        out["lm_lid"].astype(f32),
+        out["lm_active"].astype(f32),
+        out["lm_matched"].astype(f32),
+        out["lm_match_px"].reshape(-1).astype(f32),
+        out["lm_xyz"].reshape(-1).astype(f32),
+    ])
+
+
+def _unpack_row(row: np.ndarray, M: int) -> dict:
+    k = _SCALAR_FIELDS
+    return dict(
+        pose=row[0:4].astype(np.float64),
+        pose_sqrt_cov=row[4:8].astype(np.float64),
+        n_map=row[8], n_visible=row[9], n_matched=row[10],
+        redirected=row[11],
+        health=row[12:15] != 0.0,
+        lm_lid=row[k:k + M].astype(np.int32),
+        lm_active=row[k + M:k + 2 * M] != 0.0,
+        lm_matched=row[k + 2 * M:k + 3 * M] != 0.0,
+        lm_match_px=row[k + 3 * M:k + 5 * M].reshape(M, 2),
+        lm_xyz=row[k + 5 * M:k + 8 * M].reshape(M, 3),
+    )
+
+
 @dataclasses.dataclass
 class FrameRecord:
     frame: int
@@ -70,30 +112,51 @@ class SlamSession:
         # separate jits per redirect branch: selecting the branch at trace
         # time (static bool) instead of lax.cond keeps remote-TPU compile
         # times sane (the conditional of two filter-sized branches compiles
-        # ~25x slower than both branches separately)
+        # ~25x slower than both branches separately). Outputs are packed
+        # into one flat row (see _pack_row) — one D2H transfer per step.
+        M = cfg.max_landmarks
+
+        def packed_step(st, img, op, oc, redirect):
+            st, out = slam_step(st, img.astype(cfg.dtype), op, oc,
+                                redirect, cfg)
+            return st, _pack_row(out, M)
+
         self._step_normal = jax.jit(
-            lambda st, img, op, oc: slam_step(st, img, op, oc, False, cfg))
+            lambda st, img, op, oc: packed_step(st, img, op, oc, False))
         self._step_redirect = jax.jit(
-            lambda st, img, op, oc: slam_step(st, img, op, oc, True, cfg))
-        self._init = jax.jit(lambda st, img: initialize(st, img, cfg))
+            lambda st, img, op, oc: packed_step(st, img, op, oc, True))
+        self._init = jax.jit(
+            lambda st, img: initialize(st, img.astype(cfg.dtype), cfg))
         self._chunk_steps: dict = {}   # chunk length -> jitted scan
+        #: transport images as uint8 when lossless (4x fewer bytes over
+        #: the host->device link); decided from the first frame
+        self._img_u8: Optional[bool] = None
 
         state = init_state(cfg, theta0=float(track.theta[0]),
                            max_stored=max_stored)
-        img0 = self.images.get(int(track.frame_id[0])).astype(self._dtype)
+        img0 = self._prep_image(self.images.get(int(track.frame_id[0])))
         self.state: FilterState = self._init(state, img0)
+
+    def _prep_image(self, img: np.ndarray) -> np.ndarray:
+        if self._img_u8 is None:
+            self._img_u8 = bool(
+                img.min() >= 0 and img.max() <= 255
+                and np.all(img == np.round(img)))
+        if self._img_u8:
+            return np.asarray(img, dtype=np.uint8)
+        return np.asarray(img, dtype=self._dtype)
 
     def step(self) -> Optional[FrameRecord]:
         k = self.counter
         if k >= len(self.track):
             return None
         self.timer.start()
-        img = self.images.get(int(self.track.frame_id[k])).astype(self._dtype)
+        img = self._prep_image(self.images.get(int(self.track.frame_id[k])))
         step = (self._step_redirect if self._redirect[k]
                 else self._step_normal)
-        self.state, out = step(
+        self.state, row = step(
             self.state, img, self._odo[k - 1], self._odo[k])
-        out = {key: np.asarray(v) for key, v in out.items()}
+        out = _unpack_row(np.asarray(row), self.cfg.max_landmarks)
         rec = FrameRecord(
             frame=k,
             pose=out["pose"],
@@ -172,15 +235,20 @@ class SlamSession:
         return sess
 
     def _chunk_fn(self, k: int):
-        """Jitted ``lax.scan`` over k frames (compiled once per length)."""
+        """Jitted ``lax.scan`` over k frames (compiled once per length).
+
+        Scan outputs are the packed telemetry rows — the host fetches one
+        (k, row) array per chunk."""
         if k not in self._chunk_steps:
             cfg = self.cfg
+            M = cfg.max_landmarks
 
             def chunk(st, imgs, odo_prev, odo_cur):
                 def body(s, inp):
                     img, op, oc = inp
-                    s, out = slam_step(s, img, op, oc, False, cfg)
-                    return s, out
+                    s, out = slam_step(s, img.astype(cfg.dtype), op, oc,
+                                       False, cfg)
+                    return s, _pack_row(out, M)
 
                 return jax.lax.scan(body, st, (imgs, odo_prev, odo_cur))
 
@@ -220,16 +288,16 @@ class SlamSession:
             return recs
         self.timer.start()
         imgs = np.stack([
-            self.images.get(int(self.track.frame_id[i])).astype(self._dtype)
+            self._prep_image(self.images.get(int(self.track.frame_id[i])))
             for i in range(ks, ks + k)])
-        self.state, outs = self._chunk_fn(k)(
+        self.state, rows = self._chunk_fn(k)(
             self.state, imgs, self._odo[ks - 1:ks - 1 + k],
             self._odo[ks:ks + k])
+        rows = np.asarray(rows)              # ONE device->host transfer
         wall = self.timer.stop()
-        outs = {key: np.asarray(v) for key, v in outs.items()}
         recs = []
         for i in range(k):
-            tele = {key: v[i] for key, v in outs.items()}
+            tele = _unpack_row(rows[i], self.cfg.max_landmarks)
             rec = FrameRecord(frame=ks + i, pose=tele["pose"],
                               pose_sqrt_cov=tele["pose_sqrt_cov"],
                               n_map=int(tele["n_map"]),
