@@ -208,9 +208,14 @@ def integrate_features(state: FilterState, image: jnp.ndarray,
     w = ut_weights(na, cfg)
     cam = cfg.camera
 
-    # target slots: first KA inactive (argsort: False first, stable)
-    targets = jnp.argsort(state.lm.active)[:KA]               # (KA,)
-    valid = valid & ~state.lm.active[targets]
+    # target slots: first KA inactive (argsort: False first, stable).
+    # Replicated under SPMD: slot indices derived from the M-sharded
+    # active mask otherwise drag degenerate shardings onto every KA-sized
+    # update value (involuntary-remat warnings)
+    from ..parallel.mesh import replicate_hint
+
+    targets = replicate_hint(jnp.argsort(state.lm.active)[:KA])  # (KA,)
+    valid = replicate_hint(valid & ~state.lm.active[targets])
 
     # augmented mean + sqrt (SLAM.cpp:847-869)
     safe_c = jnp.where(valid[:, None], corners,
@@ -249,8 +254,11 @@ def integrate_features(state: FilterState, image: jnp.ndarray,
     pos_rows = (6 * targets[:, None] + jnp.arange(3)[None, :]).reshape(-1)
     ang_rows = (6 * targets[:, None] + 3 + jnp.arange(3)[None, :]).reshape(-1)
     pos_vals = jnp.broadcast_to(pos[None], (KA, 3, ns)).reshape(-1, ns)
-    ang_vals = jnp.concatenate(
-        [ang.transpose(0, 2, 1), rho_out[:, None, :]], axis=1).reshape(-1, ns)
+    # symmetric stack (not concat-with-size-1-broadcast): a size-1 middle
+    # axis picks up a degenerate GSPMD sharding under the landmark-sharded
+    # layout, forcing an involuntary full rematerialization
+    ang_vals = jnp.stack(
+        [ang[..., 0], ang[..., 1], rho_out], axis=1).reshape(-1, ns)
     vmask6 = jnp.repeat(valid, 3)
     sig_out = sig_out.at[pos_rows].set(
         jnp.where(vmask6[:, None], pos_vals, sig_out[pos_rows]))

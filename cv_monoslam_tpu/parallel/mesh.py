@@ -23,6 +23,24 @@ from ..filter.state import FilterState, LandmarkTable, StoredTable
 MAP_AXIS = "map"
 
 
+def replicate_hint(x):
+    """Constrain ``x`` to be replicated when compiling under a mesh.
+
+    Library code can't name the mesh; under ``jax.sharding.set_mesh`` the
+    abstract mesh is visible in-trace and a bare PartitionSpec() constraint
+    replicates. Outside any mesh this is a no-op. Used to stop GSPMD from
+    propagating the landmark-axis sharding onto small K-sized scatter
+    values (degenerate shardings there force involuntary full
+    rematerialization)."""
+    import jax
+    from jax.sharding import PartitionSpec
+
+    am = jax.sharding.get_abstract_mesh()
+    if am is None or am.empty:
+        return x
+    return jax.lax.with_sharding_constraint(x, PartitionSpec())
+
+
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
