@@ -155,10 +155,13 @@ class SlamConfig:
 
     # ---- filter update strategy (new) ----
     #: "batched" = single joint QR-Schur update over all matches;
-    #: "gram" = same posterior via MXU matmuls + Cholesky (TPU fast path);
+    #: "gram" = same posterior via MXU matmuls + Cholesky (TPU fast path,
+    #: default — identical posterior to "batched" up to roundoff, tested in
+    #: tests/test_ops.py; unrepairably indefinite frames degrade to a
+    #: skipped update);
     #: "sequential" = reference-faithful per-landmark 2D updates with true
-    #: hyperbolic rank-2 downdates.
-    update_mode: str = "batched"
+    #: hyperbolic rank-2 downdates (or GMW recompose via downdate_mode).
+    update_mode: str = "gram"
     #: sequential-mode sqrt downdate: "hyperbolic" = true rank-2 rotation
     #: downdate with PD-skip guard; "gmw" = the reference's
     #: recompose-refactor with Gill-Murray-Wright repair (SLAM.cpp:2106-2327)
@@ -170,7 +173,7 @@ class SlamConfig:
     #: (motion predict / deletion form the predicted covariance directly —
     #: the motion model touches only 3 state dims, so no (2Na x D) QR is
     #: needed; the TPU fast path).
-    qr_mode: str = "householder"
+    qr_mode: str = "gram"
     #: vision hot-loop backend: "pallas" = fused Pallas kernels (NCC
     #: active-search + patch warp), "xla" = grouped-conv/gather formulation,
     #: "auto" = pallas on TPU, xla elsewhere.

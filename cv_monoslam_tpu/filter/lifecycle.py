@@ -173,6 +173,10 @@ def update_features(state: FilterState, cfg: SlamConfig) -> FilterState:
     feats = x_new[: 6 * M].reshape(M, 6)
     xyz = tf.inverse_depth_to_cartesian(feats)
     zero_i = jnp.zeros_like(lm.n_predict)
+    # NOTE: ``visible`` is NOT cleared here (the reference clears it at the
+    # end of updateFeaturesInformation, but the next measurement predict
+    # recomputes it before any consumer reads it — keeping it makes the
+    # per-frame n_visible telemetry meaningful)
     lm_new = replace(
         lm,
         active=keep,
@@ -180,7 +184,7 @@ def update_features(state: FilterState, cfg: SlamConfig) -> FilterState:
         is_loop=lm.is_loop & keep,
         n_predict=jnp.where(keep, lm.n_predict, zero_i),
         n_match=jnp.where(keep, lm.n_match, zero_i),
-        visible=jnp.zeros_like(lm.visible),
+        visible=lm.visible & keep,
         matched=lm.matched & keep,
         xyz=jnp.where(keep[:, None], xyz, lm.xyz),
     )

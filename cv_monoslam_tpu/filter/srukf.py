@@ -69,7 +69,7 @@ def add_features(state: FilterState, image: jnp.ndarray, cfg: SlamConfig,
             & (kept & fok)[:, None]                          # (K, Ks)
         new_ok = kept & fok & ~jnp.any(near, axis=1)
 
-        max_raws = 30
+        max_raws = max(30, base)
         steps = max(1, -(-(max_raws - base) // max(cfg.min_num, 1)) + 1)
         ladder = jnp.minimum(base + cfg.min_num * jnp.arange(steps),
                              max_raws)

@@ -99,12 +99,17 @@ def _update_gram(state: FilterState, cache: PredictCache,
     ryy = _chol_psd(pyy, 1e-6)                            # (2M, 2M) upper
     w_mat = tri_solve(ryy, pxy.T, trans=True)             # Ryy^-T Pxy^T
     dx = w_mat.T @ tri_solve(ryy, nu, trans=True)
-    # S' = chol(S^T S - W^T W): Joseph-free Schur complement in sqrt form
+    # S' = chol(S^T S - W^T W): Joseph-free Schur complement in sqrt form.
+    # The f32 covariance-space subtraction can go indefinite past repair
+    # when many strong updates land at once (the reference's GMW fallback
+    # exists for exactly this, SLAM.cpp:2197-2327); an unrepairable frame
+    # degrades to "skip this update" rather than poisoning the filter.
     g = gram(state.S) - gram(w_mat)
     S_new = _chol_psd(g, 1e-6)
+    ok = any_match & jnp.all(jnp.isfinite(S_new)) & jnp.all(jnp.isfinite(dx))
 
-    x_new = jnp.where(any_match, state.x + dx, state.x)
-    S_new = jnp.where(any_match, S_new, state.S)
+    x_new = jnp.where(ok, state.x + dx, state.x)
+    S_new = jnp.where(ok, S_new, state.S)
     return replace(state, x=x_new, S=S_new)
 
 

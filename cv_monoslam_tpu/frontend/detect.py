@@ -142,7 +142,9 @@ def escalate_raws(kept: jnp.ndarray, raw_rank: jnp.ndarray,
     the same greedy sequence, so each ladder step's survivor count is a
     masked count; returns the chosen raw cap (traced scalar int32).
     """
-    max_raws = 30
+    # the reference escalates to at most 30 raws (SLAM.cpp:777-808); a
+    # configured base above 30 is honoured as-is (no escalation headroom)
+    max_raws = max(30, base_raws)
     steps = max(1, -(-(max_raws - base_raws) // max(cfg.min_num, 1)) + 1)
     ladder = jnp.minimum(base_raws + cfg.min_num * jnp.arange(steps), max_raws)
     ok = kept & filters_ok

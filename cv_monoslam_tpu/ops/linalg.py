@@ -36,21 +36,26 @@ def gram(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def _chol_psd(g: jnp.ndarray, jitter: float) -> jnp.ndarray:
-    """Upper Cholesky of a (near-)PSD matrix with diagonal repair.
+    """Upper Cholesky of a (near-)PSD matrix with escalating repair.
 
     The reference hits the same failure mode (indefinite recomposed P) and
-    repairs it with Gill-Murray-Wright (SLAM.cpp:2197-2327); here a scaled
-    diagonal shift keeps the factorization PD — cheap, jit-friendly, and
-    only active when the plain factorization produced NaNs.
+    repairs it with Gill-Murray-Wright (SLAM.cpp:2197-2327); here an
+    escalating scaled diagonal shift (jitter, 1e3x, 1e6x) keeps the
+    factorization PD. Repair attempts run under lax.cond so the common
+    PD case pays exactly one factorization.
     """
     n = g.shape[0]
     eye = jnp.eye(n, dtype=g.dtype)
     scale = jnp.maximum(jnp.max(jnp.abs(jnp.diag(g))), 1.0)
     r = jnp.linalg.cholesky(g, upper=True)
-    bad = ~jnp.all(jnp.isfinite(r))
-    g_fix = g + (jitter * scale) * eye
-    r_fix = jnp.linalg.cholesky(g_fix, upper=True)
-    return jnp.where(bad, r_fix, r)
+    for mult in (1.0, 1e3, 1e6):
+        shift = (mult * jitter) * scale
+        bad = ~jnp.all(jnp.isfinite(r))
+        r = jax.lax.cond(
+            bad,
+            lambda s=shift: jnp.linalg.cholesky(g + s * eye, upper=True),
+            lambda r=r: r)
+    return r
 
 
 def cholqr(a: jnp.ndarray, jitter: float = 1e-6) -> jnp.ndarray:

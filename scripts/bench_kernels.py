@@ -1,0 +1,120 @@
+"""BASELINE config 2: vision-kernel throughput vs roofline.
+
+Microbenchmarks the fused Pallas kernels (ncc_score_map, warp_bilinear)
+against the XLA grouped-conv/gather formulations across landmark counts,
+reporting achieved FLOP/s and the fraction of the chip's f32 matmul peak
+(TPU v5e: ~197 TFLOP/s bf16 -> ~49 TFLOP/s f32 assumed; HBM ~819 GB/s).
+
+These are the engine's replacements for the reference's hottest serial
+loops: the exhaustive NCC search (SLAM.cpp:1960-1984, 3141-3166) and the
+homography patch warp (SLAM.cpp:1804-1906).
+
+Usage: python scripts/bench_kernels.py [--sizes 32,128,512]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..", ".cache",
+                                   "jax"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+F32_PEAK = 49.2e12          # TPU v5e assumed f32 MXU peak (FLOP/s)
+HBM_BW = 819e9              # bytes/s
+
+
+def time_fn(fn, *args, n=30, warmup=3):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_ncc(m, hp_match=8, hp_init=10):
+    from cv_monoslam_tpu.config import SlamConfig
+    from cv_monoslam_tpu.frontend.matching import ncc_scores
+    from cv_monoslam_tpu.ops.pallas_vision import ncc_score_map
+
+    pm = 2 * hp_match + 1
+    w1 = 2 * hp_init + 1
+    rg = w1 + pm - 1
+    rng = np.random.default_rng(0)
+    regions = jnp.asarray(rng.uniform(0, 255, (m, rg, rg)), jnp.float32)
+    patches = jnp.asarray(rng.uniform(0, 255, (m, pm, pm)), jnp.float32)
+
+    kk, taps = w1 * w1, pm * pm
+    flops = m * (2 * kk * taps * 2      # windows @ [p_hat, ones]
+                 + 2 * kk * taps        # wsq contraction
+                 + 6 * kk)              # normalization
+    t_pal = time_fn(lambda r, p: ncc_score_map(r, p, pm=pm, w1=w1),
+                    regions, patches)
+
+    cfg = SlamConfig(vision_backend="xla", hp_match=hp_match,
+                     hp_init=hp_init)
+    image = jnp.asarray(rng.uniform(0, 255, (480, 640)), jnp.float32)
+    centers = jnp.asarray(
+        rng.integers(40, 400, (m, 2)), jnp.int32)
+    xla_fn = jax.jit(lambda im, c, p: ncc_scores(im, c, p, cfg)[0])
+    t_xla = time_fn(xla_fn, image, centers, patches)
+
+    return dict(kernel="ncc", M=m, flops=flops,
+                pallas_ms=t_pal * 1e3, xla_ms=t_xla * 1e3,
+                pallas_gflops=flops / t_pal / 1e9,
+                xla_gflops=flops / t_xla / 1e9,
+                pallas_peak_frac=flops / t_pal / F32_PEAK)
+
+
+def bench_warp(m, hp_match=8, hp_init=10):
+    from cv_monoslam_tpu.frontend.matching import _bilinear_batch
+    from cv_monoslam_tpu.ops.pallas_vision import warp_bilinear
+
+    pi = 2 * hp_init + 1
+    po = 2 * hp_match + 1
+    rng = np.random.default_rng(1)
+    patches = jnp.asarray(rng.uniform(0, 255, (m, pi, pi)), jnp.float32)
+    su = jnp.asarray(rng.uniform(1, pi - 2, (m, po, po)), jnp.float32)
+    sv = jnp.asarray(rng.uniform(1, pi - 2, (m, po, po)), jnp.float32)
+
+    kk = po * po
+    flops = m * (2 * kk * pi * pi + 3 * kk * pi + 8 * kk)
+    t_pal = time_fn(warp_bilinear, patches, su, sv)
+    t_xla = time_fn(jax.jit(_bilinear_batch), patches, su, sv)
+    return dict(kernel="warp", M=m, flops=flops,
+                pallas_ms=t_pal * 1e3, xla_ms=t_xla * 1e3,
+                pallas_gflops=flops / t_pal / 1e9,
+                xla_gflops=flops / t_xla / 1e9,
+                pallas_peak_frac=flops / t_pal / F32_PEAK)
+
+
+def main(sizes=(32, 128, 512), quiet=False):
+    results = []
+    for m in sizes:
+        for fn in (bench_ncc, bench_warp):
+            r = fn(m)
+            results.append(r)
+            if not quiet:
+                print(f"{r['kernel']:5s} M={r['M']:4d}  "
+                      f"pallas {r['pallas_ms']:7.3f} ms "
+                      f"({r['pallas_gflops']:8.1f} GF/s, "
+                      f"{r['pallas_peak_frac'] * 100:5.2f}% peak)   "
+                      f"xla {r['xla_ms']:7.3f} ms "
+                      f"({r['xla_gflops']:8.1f} GF/s)")
+    return results
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes", default="32,128,512")
+    args = p.parse_args()
+    print("backend:", jax.default_backend())
+    main(tuple(int(s) for s in args.sizes.split(",")))

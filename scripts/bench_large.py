@@ -1,0 +1,99 @@
+"""BASELINE config 3: large-state SRUKF (500+ landmark capacity) on-chip.
+
+Runs the full engine at max_landmarks=512 (state dim 6*512+4 = 3076) with
+the MXU fast paths (update_mode=gram, qr_mode=gram — the structured-Gram
+sqrt updates replace the (2Na x D) Householder QR the reference's GSL path
+would need, SLAM.cpp:1539-1595/2330-2353) over a dense synthetic ceiling,
+and reports frames/s + ATE + map occupancy.
+
+Usage: python scripts/bench_large.py [--landmarks 512] [--frames 24]
+"""
+
+import argparse
+import hashlib
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..", ".cache",
+                                   "jax"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def dense_sequence(n_frames: int, seed: int = 0, density: float = 60.0):
+    """Dense-blob ceiling sequence cached on disk (many concurrent
+    landmarks need a feature-rich world)."""
+    from cv_monoslam_tpu.config import SlamConfig
+    from cv_monoslam_tpu.io.dataset import ImageSequence, preprocess_odometry
+    from cv_monoslam_tpu.io.synthetic import (make_sequence, make_trajectory,
+                                              make_world)
+
+    cache = os.path.join(os.path.dirname(__file__), "..", ".cache", "seq")
+    os.makedirs(cache, exist_ok=True)
+    key = hashlib.md5(
+        f"dense-{n_frames}-{seed}-{density}-v1".encode()).hexdigest()[:16]
+    path = os.path.join(cache, key + ".npz")
+    cfg = SlamConfig()
+    if os.path.exists(path):
+        d = np.load(path)
+        track = preprocess_odometry(d["raw"], min_step_xy=cfg.min_step_xy,
+                                    min_step_theta=cfg.min_step_theta)
+        return ImageSequence(frames=d["frames"]), track, d["gt_xy"]
+    world = make_world(seed=seed, blob_density=density, cfg=cfg)
+    xy, th = make_trajectory("arc", n=n_frames, step=0.03)
+    seq, _, gt_xy, _ = make_sequence(world, xy, th, cfg=cfg)
+    raw = np.concatenate([np.arange(n_frames, dtype=np.float64)[:, None],
+                          xy, th[:, None]], axis=1)
+    np.savez_compressed(path, frames=seq._frames, raw=raw, gt_xy=gt_xy)
+    track = preprocess_odometry(raw, min_step_xy=cfg.min_step_xy,
+                                min_step_theta=cfg.min_step_theta)
+    return ImageSequence(frames=seq._frames), track, gt_xy
+
+
+def run_large(landmarks: int = 512, frames: int = 24, chunk: int = 8,
+              quiet: bool = False):
+    import jax
+
+    from cv_monoslam_tpu.api import SlamSession
+    from cv_monoslam_tpu.config import SlamConfig
+
+    seq, track, gt_xy = dense_sequence(frames + chunk + 4)
+    # min_num drives occupancy (the map refills until that many matches);
+    # the raw caps and spacing let a single frame carry 100+ landmarks
+    cfg = SlamConfig(max_landmarks=landmarks, max_new_per_frame=48,
+                     max_detections=192, update_mode="gram", qr_mode="gram",
+                     min_dist=8.0, min_num=min(96, landmarks // 2),
+                     n_initial_raws=96, n_process_raws=96)
+    sess = SlamSession(cfg, seq, track)
+    sess.step_chunk(chunk)                       # compile
+    t0 = time.perf_counter()
+    done = 0
+    while done + chunk <= frames:
+        recs = sess.step_chunk(chunk)
+        if not recs:
+            break
+        done += len(recs)
+    dt = (time.perf_counter() - t0) / max(done, 1)
+    ate = sess.ate(gt_xy)
+    peak = max(r.n_map for r in sess.records)
+    health_ok = all(np.isfinite(r.pose).all() for r in sess.records)
+    out = dict(landmarks=landmarks, state_dim=cfg.state_dim,
+               frames=done, ms_per_frame=round(dt * 1e3, 2),
+               fps=round(1.0 / dt, 2), ate_m=round(float(ate), 4),
+               peak_map=int(peak), finite=bool(health_ok),
+               backend=jax.default_backend())
+    if not quiet:
+        print(out)
+    return out
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--landmarks", type=int, default=512)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--chunk", type=int, default=8)
+    args = p.parse_args()
+    run_large(args.landmarks, args.frames, args.chunk)
