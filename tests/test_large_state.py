@@ -18,15 +18,10 @@ def test_m128_gram_end_to_end():
                                     "scripts"))
     from bench_large import dense_sequence
 
-    seq, track, gt_xy = dense_sequence(12)
-    cfg = SlamConfig(max_landmarks=128, max_new_per_frame=16,
-                     max_detections=64, update_mode="gram", qr_mode="gram",
-                     min_dist=10.0, min_num=24)
-    sess = SlamSession(cfg, seq, track)
-    sess.run(8)
-    assert len(sess.records) == 8
-    for r in sess.records:
-        assert np.isfinite(r.pose).all()
-    peak = max(r.n_map for r in sess.records)
-    assert peak > 24, peak                      # the big map actually fills
-    assert sess.ate(gt_xy) < 0.1
+    from bench_large import run_large
+
+    out = run_large(landmarks=128, frames=8, chunk=4, quiet=True)
+    assert out["finite"]
+    assert out["frames"] == 8
+    assert out["peak_map"] > 40, out            # the big map actually fills
+    assert out["ate_m"] < 0.1, out
