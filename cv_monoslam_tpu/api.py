@@ -234,6 +234,26 @@ class SlamSession:
         sess.counter = counter
         return sess
 
+    def _window_images(self, ks: int, k: int):
+        """Stacked (k, H, W) window images, from the prefetch cache when
+        the previous chunk already shipped them to the device."""
+        key = (ks, k)
+        if getattr(self, "_img_prefetch", None) is not None:
+            pkey, dev = self._img_prefetch
+            self._img_prefetch = None
+            if pkey == key:
+                return dev
+        return self._stack_window(ks, k)
+
+    def _stack_window(self, ks: int, k: int) -> np.ndarray:
+        return np.stack([
+            self._prep_image(self.images.get(int(self.track.frame_id[i])))
+            for i in range(ks, ks + k)])
+
+    def _prefetch_images(self, ks: int, k: int) -> None:
+        self._img_prefetch = (
+            (ks, k), jax.device_put(self._stack_window(ks, k)))
+
     def _chunk_fn(self, k: int):
         """Jitted ``lax.scan`` over k frames (compiled once per length).
 
@@ -287,12 +307,16 @@ class SlamSession:
                 recs.append(rec)
             return recs
         self.timer.start()
-        imgs = np.stack([
-            self._prep_image(self.images.get(int(self.track.frame_id[i])))
-            for i in range(ks, ks + k)])
+        imgs = self._window_images(ks, k)
         self.state, rows = self._chunk_fn(k)(
             self.state, imgs, self._odo[ks - 1:ks - 1 + k],
             self._odo[ks:ks + k])
+        # prefetch the NEXT window's images while the device computes —
+        # jax dispatch is async, so the H2D upload overlaps the scan
+        ns = ks + k
+        if (ns + k <= len(self.track)
+                and not self._redirect[ns:ns + k].any()):
+            self._prefetch_images(ns, k)
         rows = np.asarray(rows)              # ONE device->host transfer
         wall = self.timer.stop()
         recs = []
