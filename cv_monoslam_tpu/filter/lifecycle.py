@@ -312,6 +312,9 @@ def integrate_features(state: FilterState, image: jnp.ndarray,
         init_theta=scatter(lm.init_theta,
                            jnp.broadcast_to(theta_now, (KA,))),
         init_patch=scatter(lm.init_patch, patches),
+        match_patch=scatter(
+            lm.match_patch,
+            jnp.zeros((KA,) + lm.match_patch.shape[1:], jnp.float32)),
         xyz=scatter(lm.xyz, xyz),
     )
     return replace(state, x=x_new, S=S_new, lm=lm_new,

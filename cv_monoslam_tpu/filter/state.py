@@ -55,6 +55,9 @@ class LandmarkTable:
     init_trans: jnp.ndarray   # (M, 3) camera position at init
     init_theta: jnp.ndarray   # (M,) camera yaw at init
     init_patch: jnp.ndarray   # (M, P, P) float32, P = 2*hp_init + 1
+    match_patch: jnp.ndarray  # (M, Q, Q) float32, Q = 2*hp_match + 1 —
+    #                           last warped template (display/debug,
+    #                           reference PointsMap match patch SLAM.h:47-70)
     xyz: jnp.ndarray          # (M, 3) Cartesian estimate
 
 
@@ -149,6 +152,8 @@ def init_state(cfg: SlamConfig, theta0: float = 0.0,
         init_trans=np.zeros((M, 3), dtype),
         init_theta=np.zeros(M, dtype),
         init_patch=np.zeros((M, P, P), np.float32),
+        match_patch=np.zeros((M, 2 * cfg.hp_match + 1,
+                              2 * cfg.hp_match + 1), np.float32),
         xyz=np.zeros((M, 3), dtype),
     )
     stored = StoredTable(

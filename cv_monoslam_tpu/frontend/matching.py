@@ -234,6 +234,8 @@ def data_association(state: FilterState, image: jnp.ndarray,
         lm,
         matched=accepted,
         match_px=jnp.where(accepted[:, None], match_px, lm.match_px),
+        match_patch=jnp.where(accepted[:, None, None],
+                              patches.astype(jnp.float32), lm.match_patch),
         n_match=lm.n_match + accepted.astype(jnp.int32),
     )
     return replace(state, lm=lm_new)

@@ -61,7 +61,7 @@ def state_shardings(mesh: Mesh, cfg: SlamConfig) -> FilterState:
         n_match=shard0, visible=shard0, matched=shard0,
         pred=lm_shard(2), match_px=lm_shard(2), si=lm_shard(3),
         init_pixel=lm_shard(2), init_trans=lm_shard(2), init_theta=shard0,
-        init_patch=lm_shard(3), xyz=lm_shard(2),
+        init_patch=lm_shard(3), match_patch=lm_shard(3), xyz=lm_shard(2),
     )
     stored = StoredTable(
         valid=rep, stamp=rep, seq=rep, lid=rep, is_loop=rep, n_predict=rep,
