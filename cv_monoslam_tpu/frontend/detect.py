@@ -88,17 +88,29 @@ def gftt_candidates(image: jnp.ndarray, cfg: SlamConfig):
     pix = jnp.stack([px, py], axis=1).astype(jnp.float32)
     cand = top > -jnp.inf
 
-    # greedy min-dist in response order (GFTT's internal separation)
+    # greedy min-dist in response order (GFTT's internal separation).
+    # Inherently sequential; for small K the recurrence is unrolled over a
+    # precomputed (K, K) clash matrix — pure scalar dataflow XLA schedules
+    # tightly — instead of K lax.scan steps whose per-iteration overhead
+    # dominates on TPU.
     md2 = cfg.min_dist2
+    if K <= 64:
+        d2 = jnp.sum((pix[:, None, :] - pix[None, :, :]) ** 2, axis=-1)
+        close = d2 < md2
+        kept_list = [cand[0]]
+        for i in range(1, K):
+            prev = jnp.stack(kept_list)
+            kept_list.append(cand[i] & ~jnp.any(prev & close[i, :i]))
+        kept = jnp.stack(kept_list)
+    else:
+        def body(kept_c, i):
+            d2 = jnp.sum((pix - pix[i]) ** 2, axis=1)
+            clash = jnp.any(kept_c & (d2 < md2))
+            keep_i = cand[i] & ~clash
+            return kept_c.at[i].set(keep_i), keep_i
 
-    def body(kept, i):
-        d2 = jnp.sum((pix - pix[i]) ** 2, axis=1)
-        clash = jnp.any(kept & (d2 < md2))
-        keep_i = cand[i] & ~clash
-        return kept.at[i].set(keep_i), keep_i
-
-    kept0 = jnp.zeros(K, bool)
-    _, kept = jax.lax.scan(body, kept0, jnp.arange(K))
+        kept0 = jnp.zeros(K, bool)
+        _, kept = jax.lax.scan(body, kept0, jnp.arange(K))
     raw_rank = jnp.cumsum(kept.astype(jnp.int32)) - 1
     return pix, kept, raw_rank, top
 
