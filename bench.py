@@ -23,9 +23,15 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".cache",
-                                   "jax"))
+# The environment pre-imports jax via sitecustomize, so env vars set here
+# are too late — configure the persistent compile cache through the config
+# API (verified: env-var-only setting silently does nothing in this image).
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".cache", "jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+os.makedirs(jax.config.jax_compilation_cache_dir, exist_ok=True)
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
 
 import numpy as np

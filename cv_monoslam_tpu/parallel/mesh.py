@@ -47,10 +47,41 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (MAP_AXIS,))
 
 
-def state_shardings(mesh: Mesh, cfg: SlamConfig) -> FilterState:
-    """Sharding pytree matching FilterState: landmark table sharded on M,
-    state vector / sqrt factor / stored table replicated."""
+def state_shardings(mesh: Mesh, cfg: SlamConfig,
+                    shard_sqrt: bool = False) -> FilterState:
+    """Sharding pytree matching FilterState.
+
+    Default layout (front-end scaling): landmark table sharded on M (the
+    per-landmark projection / warp / NCC work), state vector / sqrt factor
+    / stored table replicated. Requires M % n_devices == 0.
+
+    ``shard_sqrt=True`` (large-state scaling, SURVEY §2.3 "SPMD sharding of
+    map blocks"): the sqrt factor S — the dominant object at large M, with
+    D = 6M+4 — is sharded along its ROW axis instead, and the landmark
+    table is replicated (at M=512 the table is ~1 MB vs 37 MB for S). Every
+    Gram in the qr_mode="gram" sqrt paths contracts over S's rows
+    (motion/integration/deletion: G = c*(S^T S) + thin corrections, update:
+    Pyy/Pxy from row-contractions), so GSPMD turns each into
+    psum-of-local-Grams over ICI — the Schur-reduction pattern — with only
+    the D x D Cholesky replicated. Requires D % n_devices == 0
+    (M ≡ 2 mod 4 gives D % 8 == 0). The two layouts are mutually
+    exclusive because M and 6M+4 are never both divisible by n >= 8.
+    """
     rep = NamedSharding(mesh, P())
+    if shard_sqrt:
+        n = mesh.devices.size
+        if cfg.state_dim % n:
+            raise ValueError(
+                f"shard_sqrt layout needs state_dim {cfg.state_dim} "
+                f"divisible by {n} devices (pick max_landmarks ≡ 2 mod 4 "
+                f"for 8 devices)")
+        import dataclasses
+
+        import jax.tree_util as jtu
+
+        sh = jtu.tree_map(lambda _: rep, state_shardings(mesh, cfg))
+        return dataclasses.replace(
+            sh, S=NamedSharding(mesh, P(MAP_AXIS, None)))
     shard0 = NamedSharding(mesh, P(MAP_AXIS))
 
     def lm_shard(ndim):

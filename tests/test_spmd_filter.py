@@ -78,6 +78,46 @@ def test_filter_step_shard_invariance():
                                       np.asarray(out1[k]))
 
 
+def test_sqrt_sharded_step_invariance():
+    """shard_sqrt layout: S row-sharded over the map axis (the large-state
+    scaling layout — Gram contractions become psum-of-local-Grams). Must
+    reproduce the replicated result."""
+    import pytest
+
+    cfg = _cfg(m=18)        # M ≡ 2 mod 4 -> D = 112 divisible by 8
+    state, img, op, oc = _inputs(cfg, seed=1)
+
+    step1 = jax.jit(lambda st, im, a, b: slam_step(st, im, a, b, False, cfg))
+    s1, out1 = step1(state, jnp.asarray(img), jnp.asarray(op),
+                     jnp.asarray(oc))
+
+    mesh = make_mesh(8)
+    sh = state_shardings(mesh, cfg, shard_sqrt=True)
+    rep = NamedSharding(mesh, P())
+    step8 = jax.jit(lambda st, im, a, b: slam_step(st, im, a, b, False, cfg),
+                    in_shardings=(sh, rep, rep, rep),
+                    out_shardings=(sh, rep))
+    with jax.sharding.set_mesh(mesh):
+        s8, out8 = step8(jax.device_put(state, sh),
+                         jax.device_put(jnp.asarray(img), rep),
+                         jax.device_put(jnp.asarray(op), rep),
+                         jax.device_put(jnp.asarray(oc), rep))
+        jax.block_until_ready(s8)
+
+    np.testing.assert_allclose(np.asarray(out8["pose"]),
+                               np.asarray(out1["pose"]), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s8.x), np.asarray(s1.x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s8.S), np.asarray(s1.S),
+                               rtol=1e-3, atol=1e-4)
+
+    # layout precondition is enforced
+    bad = _cfg(m=16)        # D = 100, not divisible by 8
+    with pytest.raises(ValueError, match="divisible"):
+        state_shardings(mesh, bad, shard_sqrt=True)
+
+
 def test_redirect_step_shard_invariance():
     cfg = _cfg()
     state, img, op, oc = _inputs(cfg, seed=3)
