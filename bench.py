@@ -95,20 +95,27 @@ def bench_large():
 
 
 def bench_backend():
-    """Config 4: BA-refined vs filter-only ATE on noisy odometry."""
+    """Config 4: backend-refined vs filter-only ATE in a drift regime.
+
+    Square loop with redirects at the corners (the reference's own loop
+    mechanism re-adds stored features with their original ids), starved
+    map + strong odometry noise so the filter visibly drifts; the backend
+    (gated window BA + loop-closure pose graph) must land below the
+    filter-only ATE."""
     from experiment import get_sequence
     from cv_monoslam_tpu.api import SlamSession
     from cv_monoslam_tpu.backend.session import BackendSession
     from cv_monoslam_tpu.config import SlamConfig
 
-    seq, track, gt_xy, _ = get_sequence("arc", 61, 0, noise=0.004)
-    cfg = SlamConfig(max_landmarks=32, max_new_per_frame=8,
-                     max_detections=48, keyframe_every=5, ba_window=8)
+    seq, track, gt_xy, _ = get_sequence("square", 124, 0, noise=0.05)
+    cfg = SlamConfig(max_landmarks=8, max_new_per_frame=2,
+                     max_detections=16, keyframe_every=5, ba_window=4)
     sess = SlamSession(cfg, seq, track, backend=BackendSession(cfg))
     sess.run(chunk=8)
     return dict(ate_filter=float(sess.ate(gt_xy)),
                 ate_refined=float(sess.ate(gt_xy, refined=True)),
                 keyframes=len(sess.backend.keyframes),
+                loop_edges=len(sess.backend.loop_edges),
                 ba_solves=len(sess.refinements))
 
 

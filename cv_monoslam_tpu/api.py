@@ -203,12 +203,19 @@ class SlamSession:
                 and rec.frame % self.checkpoint_every == 0):
             self.save_checkpoint()
         if self.backend is not None:
+            n_loops = len(self.backend.loop_edges)
             kf = self.backend.maybe_add_telemetry(
                 rec.frame, tele["pose"], self._odo[rec.frame],
                 tele["lm_lid"], tele["lm_matched"], tele["lm_match_px"],
-                tele["lm_xyz"])
+                tele["lm_xyz"], pose_sqrt_cov=tele["pose_sqrt_cov"])
             if kf is not None and len(self.backend.keyframes) >= 2:
-                out = self.backend.refine_window()
+                if len(self.backend.loop_edges) > n_loops:
+                    # a loop edge appeared: global pose-graph relaxation
+                    # (the engine's real loop closure — the analogue of the
+                    # reference's redirection splice, SLAM.cpp:948-1015)
+                    out = self.backend.optimize_graph()
+                else:
+                    out = self.backend.refine_window()
                 if out is not None:
                     self.refinements.append(out)
 

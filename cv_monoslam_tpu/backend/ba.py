@@ -80,6 +80,12 @@ class BAProblem:
     odo_rel: jnp.ndarray    # (W-1, 3) measured relative poses
     kf_mask: jnp.ndarray    # (W,) bool — filled keyframe slots
     lm_mask: jnp.ndarray    # (L,) bool — filled landmark slots
+    #: (W, 3) filter marginal anchors — the ORIGINAL filter pose estimate
+    #: per keyframe (not the last refinement, so repeated window solves
+    #: cannot compound drift). Zeros + zero weight = no prior.
+    prior_poses: jnp.ndarray | None = None
+    #: (W, 3) inverse variances of the anchors (0 disables per-component)
+    prior_iw: jnp.ndarray | None = None
 
 
 def _obs_blocks(poses, landmarks, obs, obs_mask, kf_mask, lm_mask,
@@ -174,6 +180,20 @@ def _pose_system(poses, U, Hred, bp_obs, prob: BAProblem, cfg: SlamConfig,
     # gauge prior on the first pose
     H = H.at[0, 0].add(jnp.diag(prior_pose))
     bp = bp.at[0].add(-prior_pose * (poses[0] - prob.poses[0]))
+    # filter-marginal anchors: every keyframe is softly tied to the pose
+    # the FILTER estimated when the keyframe was created, weighted by the
+    # (inflated) filter pose covariance. BA then only moves poses where
+    # reprojection/odometry evidence genuinely disagrees — without this,
+    # repeated window refinements walk off in the weakly-observable
+    # directions of the ceiling-camera geometry and degrade a good
+    # trajectory instead of improving a drifting one.
+    if prob.prior_poses is not None and prob.prior_iw is not None:
+        iw_a = jnp.where(prob.kf_mask[:, None], prob.prior_iw, 0.0)
+        H = H.at[jnp.arange(W), jnp.arange(W)].add(
+            jax.vmap(jnp.diag)(iw_a))
+        res_a = poses - prob.prior_poses
+        res_a = res_a.at[:, 2].set(tf.wrap_angle(res_a[:, 2]))
+        bp = bp + (-iw_a * res_a)
     # empty keyframe slots: identity rows
     kf_off = ~prob.kf_mask
     H = jnp.where((kf_off[:, None] | kf_off[None, :])[..., None, None],

@@ -30,6 +30,9 @@ class Keyframe:
     pixels: np.ndarray        # (K, 2) matched pixel observations
     xyz: np.ndarray           # (K, 3) landmark world estimates
     pose0: Optional[np.ndarray] = None  # original filter estimate
+    #: (3,) filter pose sigma (x, y, theta) at creation — the BA anchor
+    #: weight; None falls back to a loose default
+    pose_sigma: Optional[np.ndarray] = None
 
     def __post_init__(self):
         if self.pose0 is None:
@@ -38,11 +41,16 @@ class Keyframe:
 
 def make_keyframe(frame: int, pose4: np.ndarray, odo: np.ndarray,
                   lid: np.ndarray, matched: np.ndarray,
-                  match_px: np.ndarray, xyz: np.ndarray) -> Keyframe:
+                  match_px: np.ndarray, xyz: np.ndarray,
+                  pose_sqrt_cov: Optional[np.ndarray] = None) -> Keyframe:
     """Build a keyframe from raw per-frame arrays (the ``lm_*`` telemetry
     fields of ``slam_step`` outputs, or a live FilterState)."""
     sel = np.flatnonzero(np.asarray(matched))
     pose = np.asarray(pose4)
+    sigma = None
+    if pose_sqrt_cov is not None:
+        sc = np.asarray(pose_sqrt_cov, dtype=np.float64)
+        sigma = sc[[0, 1, 3]]                 # (x, y, theta) of (x,y,z,th)
     return Keyframe(
         frame=frame,
         pose=np.array([pose[0], pose[1], pose[3]]),
@@ -50,14 +58,110 @@ def make_keyframe(frame: int, pose4: np.ndarray, odo: np.ndarray,
         lids=np.asarray(lid)[sel],
         pixels=np.asarray(match_px)[sel],
         xyz=np.asarray(xyz)[sel],
+        pose_sigma=sigma,
     )
 
 
 def keyframe_from_state(frame: int, state: FilterState,
                         odo: np.ndarray) -> Keyframe:
     lm = state.lm
+    S4 = np.asarray(state.S)[:, -4:]
+    sc = np.sqrt(np.maximum((S4 * S4).sum(axis=0), 0.0))
     return make_keyframe(frame, state.x[-4:], odo, lm.lid,
-                         lm.matched & lm.active, lm.match_px, lm.xyz)
+                         lm.matched & lm.active, lm.match_px, lm.xyz,
+                         pose_sqrt_cov=sc)
+
+
+def _mutual_nn_pairs(a_xy: np.ndarray, b_xy: np.ndarray, radius: float):
+    """Indices (ia, ib) of mutual nearest neighbours within ``radius``.
+
+    Geometric place recognition: at a revisit, re-detected corners carry
+    fresh landmark ids, so identity must be recovered from world-position
+    proximity (the estimates differ by the accumulated drift, which must
+    stay below half the landmark spacing for pairing to be unambiguous)."""
+    if len(a_xy) == 0 or len(b_xy) == 0:
+        return None
+    d2 = ((a_xy[:, None, :] - b_xy[None, :, :]) ** 2).sum(-1)
+    nb = d2.argmin(axis=1)                    # a -> nearest b
+    na = d2.argmin(axis=0)                    # b -> nearest a
+    ia = np.flatnonzero((na[nb] == np.arange(len(a_xy)))
+                        & (d2[np.arange(len(a_xy)), nb] < radius ** 2))
+    return ia, nb[ia]
+
+
+def _robust_procrustes2d(a_xy: np.ndarray, b_xy: np.ndarray, tol: float,
+                         min_pairs: int, max_samples: int = 64):
+    """RANSAC rigid fit over mutual-NN pairs: mutual-NN pairing at a
+    revisit always contains mispairs (aliasing to a neighbouring
+    landmark), and a contaminated least-squares fit spreads the error over
+    every residual — so hypothesize from 2-point minimal samples, score by
+    inlier count under ``tol``, then refit on the winning inlier set.
+    Deterministic (enumerates pairs, capped). Returns
+    (dth, t, inlier_mask, rms) or None."""
+    n = len(a_xy)
+    if n < max(min_pairs, 2):
+        return None
+    best = None
+    tried = 0
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            if tried >= max_samples:
+                break
+            tried += 1
+            va = a_xy[j] - a_xy[i]
+            vb = b_xy[j] - b_xy[i]
+            if (va @ va) < 1e-8:
+                continue
+            dth = float(np.arctan2(vb[1], vb[0]) - np.arctan2(va[1], va[0]))
+            c, s = np.cos(dth), np.sin(dth)
+            t = b_xy[i] - np.array([c * a_xy[i, 0] - s * a_xy[i, 1],
+                                    s * a_xy[i, 0] + c * a_xy[i, 1]])
+            pred = np.stack([c * a_xy[:, 0] - s * a_xy[:, 1] + t[0],
+                             s * a_xy[:, 0] + c * a_xy[:, 1] + t[1]], axis=1)
+            res2 = ((pred - b_xy) ** 2).sum(1)
+            inl = res2 < tol ** 2
+            score = int(inl.sum())
+            if best is None or score > best[0]:
+                best = (score, inl)
+    if best is None or best[0] < max(min_pairs, 2):
+        return None
+    keep = best[1]
+    fit = _procrustes2d(a_xy[keep], b_xy[keep])
+    if fit is None:
+        return None
+    dth, t = fit
+    c, s = np.cos(dth), np.sin(dth)
+    pred = np.stack([c * a_xy[:, 0] - s * a_xy[:, 1] + t[0],
+                     s * a_xy[:, 0] + c * a_xy[:, 1] + t[1]], axis=1)
+    res = np.sqrt(((pred - b_xy) ** 2).sum(1))
+    keep = res < tol
+    if keep.sum() < max(min_pairs, 2):
+        return None
+    rms = float(np.sqrt((res[keep] ** 2).mean()))
+    return dth, t, keep, rms
+
+
+def _procrustes2d(old_xy: np.ndarray, new_xy: np.ndarray):
+    """Planar rigid transform (dth, t) with new ~ R(dth) old + t.
+
+    Least-squares over matched landmark pairs; returns None when the pairs
+    are unusable, and a translation-only fit when they have no rotational
+    leverage (all points nearly coincident)."""
+    if len(old_xy) < 2:
+        return None
+    a = old_xy - old_xy.mean(axis=0)
+    b = new_xy - new_xy.mean(axis=0)
+    spread = float(np.sqrt((a * a).sum(axis=1).mean()))
+    if spread < 1e-3:
+        dth = 0.0
+    else:
+        dth = float(np.arctan2((a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]).sum(),
+                               (a * b).sum()))
+    c, s = np.cos(dth), np.sin(dth)
+    r_old = old_xy.mean(axis=0)
+    t = new_xy.mean(axis=0) - np.array([c * r_old[0] - s * r_old[1],
+                                        s * r_old[0] + c * r_old[1]])
+    return dth, t
 
 
 def _relpose_np(p0, p1):
@@ -71,13 +175,21 @@ class BackendSession:
     """Collects keyframes; solves window BA and the global pose graph."""
 
     def __init__(self, cfg: SlamConfig, max_nodes: int = 64,
-                 max_lms: int = 64, loop_min_shared: int = 3):
+                 max_lms: int = 64, loop_min_shared: int = 3,
+                 loop_min_sep: Optional[int] = None,
+                 loop_pair_radius: float = 0.12,
+                 loop_fit_tol: float = 0.05):
         self.cfg = cfg
         self.max_nodes = max_nodes
         self.max_lms = max_lms
         self.loop_min_shared = loop_min_shared
+        #: keyframe separation below which co-observation is not a loop
+        self.loop_min_sep = (2 * cfg.ba_window if loop_min_sep is None
+                             else loop_min_sep)
+        self.loop_pair_radius = loop_pair_radius
+        self.loop_fit_tol = loop_fit_tol
         self.keyframes: List[Keyframe] = []
-        self.loop_edges: List[tuple] = []     # (i, j, rel, weight)
+        self.loop_edges: List[tuple] = []     # (i, j, rel, (sig_xy, sig_th))
 
     # -- collection --------------------------------------------------------
 
@@ -88,12 +200,14 @@ class BackendSession:
         return self._add(keyframe_from_state(frame, state, odo))
 
     def maybe_add_telemetry(self, frame: int, pose4, odo, lid, matched,
-                            match_px, xyz) -> Optional[Keyframe]:
+                            match_px, xyz,
+                            pose_sqrt_cov=None) -> Optional[Keyframe]:
         """Keyframe from chunked-scan telemetry (no FilterState needed)."""
         if frame % self.cfg.keyframe_every != 0:
             return None
         return self._add(make_keyframe(frame, pose4, odo, lid, matched,
-                                       match_px, xyz))
+                                       match_px, xyz,
+                                       pose_sqrt_cov=pose_sqrt_cov))
 
     def _add(self, kf: Keyframe) -> Optional[Keyframe]:
         if len(kf.lids) == 0:
@@ -110,17 +224,48 @@ class BackendSession:
     def _detect_loops(self, kf: Keyframe) -> None:
         """Shared-landmark loop detection against non-adjacent keyframes —
         the graph generalization of the reference's re-identification
-        re-add (SLAM.cpp:699-729, 948-1015)."""
+        re-add (SLAM.cpp:699-729, 948-1015).
+
+        The loop edge's relative-pose MEASUREMENT comes from the shared
+        landmark geometry, not from the current pose estimates (those
+        contain exactly the drift the loop is supposed to remove): the
+        planar rigid transform D aligning the new keyframe's landmark
+        estimates to the old keyframe's (2D Procrustes) is the accumulated
+        drift, and the corrected new pose is D^-1 applied to the current
+        one."""
         j = len(self.keyframes)
         for i, old in enumerate(self.keyframes[:-1]):
-            # only keyframes outside the live BA window count as loops —
-            # inside the window, co-observation is the norm, not a loop
-            if j - i <= self.cfg.ba_window:
+            # real revisits only: keyframes well outside the live window
+            # (inside it, co-observation is the norm, not a loop)
+            if j - i <= self.loop_min_sep:
                 continue
-            shared = np.intersect1d(old.lids, kf.lids)
-            if len(shared) >= self.loop_min_shared:
-                rel = _relpose_np(old.pose, kf.pose)
-                self.loop_edges.append((i, j, rel, 10.0))
+            # (1) exact re-identification by landmark id — redirect re-adds
+            # restore old ids (the reference's mechanism, SLAM.cpp:948-1015)
+            shared, ia, ib = np.intersect1d(old.lids, kf.lids,
+                                            return_indices=True)
+            if len(shared) < self.loop_min_shared:
+                # (2) geometric place recognition: normal-frame re-detections
+                # carry fresh ids, so pair by world-position proximity
+                pairs = _mutual_nn_pairs(old.xyz[:, :2], kf.xyz[:, :2],
+                                         self.loop_pair_radius)
+                if pairs is None or len(pairs[0]) < self.loop_min_shared:
+                    continue
+                ia, ib = pairs
+            a_xy, b_xy = old.xyz[ia, :2], kf.xyz[ib, :2]
+            drift = _robust_procrustes2d(a_xy, b_xy, self.loop_fit_tol,
+                                         self.loop_min_shared)
+            if drift is None:
+                continue
+            dth, t, _, rms = drift            # new_xy ~ R(dth) old_xy + t
+            c, s = np.cos(dth), np.sin(dth)
+            # undo the drift on the new pose: p_true = D^-1(p_est)
+            px = kf.pose[0] - t[0]
+            py = kf.pose[1] - t[1]
+            corrected = np.array([c * px + s * py, -s * px + c * py,
+                                  kf.pose[2] - dth])
+            rel = _relpose_np(old.pose0, corrected)
+            sig_xy = max(rms, 0.01)
+            self.loop_edges.append((i, j, rel, (sig_xy, max(rms, 0.005))))
 
     # -- solvers ------------------------------------------------------------
 
@@ -146,9 +291,16 @@ class BackendSession:
         lms = np.zeros((L, 3), dtype)
         kf_mask = np.zeros(W, bool)
         odo_rel = np.zeros((W - 1, 3), dtype)
+        prior_poses = np.zeros((W, 3), dtype)
+        prior_iw = np.zeros((W, 3), dtype)
+        infl = self.cfg.ba_pose_prior_inflation
         for w, kf in enumerate(kfs):
             poses[w] = kf.pose
             kf_mask[w] = True
+            prior_poses[w] = kf.pose0
+            sig = (kf.pose_sigma if kf.pose_sigma is not None
+                   else np.full(3, 0.05))
+            prior_iw[w] = 1.0 / np.maximum(infl * sig, 1e-4) ** 2
             for lid, px, xyz in zip(kf.lids, kf.pixels, kf.xyz):
                 c = id_to_col.get(int(lid))
                 if c is None:
@@ -164,10 +316,18 @@ class BackendSession:
             poses=jnp.asarray(poses), landmarks=jnp.asarray(lms),
             obs=jnp.asarray(obs), obs_mask=jnp.asarray(mask),
             odo_rel=jnp.asarray(odo_rel), kf_mask=jnp.asarray(kf_mask),
-            lm_mask=jnp.asarray(lm_mask))
+            lm_mask=jnp.asarray(lm_mask),
+            prior_poses=jnp.asarray(prior_poses),
+            prior_iw=jnp.asarray(prior_iw))
 
     def refine_window(self):
-        """Run BA on the current window. Returns dict or None."""
+        """Run BA on the current window. Returns dict or None.
+
+        Corrections are committed only when BA genuinely disagrees with
+        the filter — max pose correction above ``ba_apply_gate`` filter
+        sigmas. Below the gate the window solution is statistically
+        indistinguishable from the filter's (which fused strictly more
+        frames), so committing it would only re-add pixel noise."""
         prob = self.window_problem()
         if prob is None:
             return None
@@ -176,11 +336,19 @@ class BackendSession:
         poses, lms, costs = ba_solve(prob, self.cfg)
         after = float(reprojection_rmse(poses, lms, prob, self.cfg))
         kfs = self.keyframes[-self.cfg.ba_window:]
-        for w, kf in enumerate(kfs):
-            kf.pose = np.asarray(poses[w])
-        return dict(poses=np.asarray(poses), landmarks=np.asarray(lms),
+        poses = np.asarray(poses)
+        corr = poses[: len(kfs)] - np.stack([k.pose for k in kfs])
+        corr[:, 2] = np.arctan2(np.sin(corr[:, 2]), np.cos(corr[:, 2]))
+        sig = np.stack([k.pose_sigma if k.pose_sigma is not None
+                        else np.full(3, 0.05) for k in kfs])
+        z = float(np.max(np.abs(corr) / np.maximum(sig, 1e-4)))
+        applied = z > self.cfg.ba_apply_gate
+        if applied:
+            for w, kf in enumerate(kfs):
+                kf.pose = poses[w]
+        return dict(poses=poses, landmarks=np.asarray(lms),
                     rmse_before=before, rmse_after=after,
-                    costs=np.asarray(costs),
+                    costs=np.asarray(costs), applied=applied, max_z=z,
                     frames=[k.frame for k in kfs])
 
     def graph(self) -> Optional[PoseGraph]:
@@ -201,18 +369,30 @@ class BackendSession:
         emask = np.zeros(E, bool)
         k = 0
         for i in range(n - 1):
+            a, b = self.keyframes[i], self.keyframes[i + 1]
             eij[k] = (i, i + 1)
-            erel[k] = _relpose_np(self.keyframes[i].odo,
-                                  self.keyframes[i + 1].odo)
-            ew[k] = (1.0 / 0.02 ** 2, 1.0 / 0.02 ** 2, 1.0 / 0.01 ** 2)
+            # consecutive edges: the FILTER's relative motion (pose0), not
+            # raw odometry — the filter is the best local dead-reckoner,
+            # and its sigma growth between the keyframes bounds the edge's
+            # uncertainty (drift accumulates slowly; the floor keeps a
+            # converged filter's edges from becoming hard constraints)
+            erel[k] = _relpose_np(a.pose0, b.pose0)
+            if a.pose_sigma is not None and b.pose_sigma is not None:
+                ds = np.abs(b.pose_sigma - a.pose_sigma)
+            else:
+                ds = np.zeros(3)
+            sig = np.maximum(ds, (0.005, 0.005, 0.0025))
+            ew[k] = 1.0 / sig ** 2
             emask[k] = True
             k += 1
         for (i, j, rel, w) in self.loop_edges:
             if k >= E or j >= n:
                 break
+            sig_xy, sig_th = w if isinstance(w, tuple) else (0.02, 0.01)
             eij[k] = (i, j)
             erel[k] = rel
-            ew[k] = (w / 0.02 ** 2, w / 0.02 ** 2, w / 0.01 ** 2)
+            ew[k] = (1.0 / sig_xy ** 2, 1.0 / sig_xy ** 2,
+                     1.0 / sig_th ** 2)
             emask[k] = True
             k += 1
         return PoseGraph(

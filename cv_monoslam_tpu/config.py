@@ -185,6 +185,17 @@ class SlamConfig:
     ba_window: int = 8            # sliding-window keyframe count
     ba_iters: int = 5             # Gauss-Newton iterations per BA solve
     keyframe_every: int = 10      # keyframe spacing (frames)
+    #: BA anchors each window pose to the filter's estimate with sigma =
+    #: inflation * filter pose sigma. The anchor is adaptive by
+    #: construction: a converged filter has small sigma (strong anchor, BA
+    #: is a no-op), a drifting filter has grown sigma (weak anchor, the
+    #: reprojection/odometry evidence takes over). Inflation 1.0 trusts the
+    #: filter marginal; raise it to let BA override the filter more.
+    ba_pose_prior_inflation: float = 1.0
+    #: window-BA corrections are committed only when the max pose
+    #: correction exceeds this many filter sigmas (drift signal); smaller
+    #: corrections are noise relative to the filter's full-history fusion
+    ba_apply_gate: float = 3.0
 
     # ---- recording ----
     record_robot_info: bool = True

@@ -119,6 +119,10 @@ def make_trajectory(kind: str = "arc", n: int = 60, step: float = 0.03,
         elif kind == "square":
             # sharp 90-degree turns every n//4 steps -> exercises redirection
             dth = (np.pi / 2) if (i % max(n // 4, 1) == 0) else 0.0
+        elif kind == "loop":
+            # full circle returning to the start: early landmarks re-enter
+            # the view on the final frames -> exercises loop closure
+            dth = 2.0 * np.pi / n
         else:
             raise ValueError(kind)
         theta[i] = theta[i - 1] + dth

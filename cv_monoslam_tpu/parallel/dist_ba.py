@@ -76,10 +76,14 @@ def ba_solve_sharded(prob: BAProblem, cfg: SlamConfig, mesh: Mesh, *,
         # the Schur reduction: one all-reduce of pose-shaped terms
         U, Hred, bp, cost_obs = jax.lax.psum(
             (U, Hred, bp, cost_obs), MAP_AXIS)
-        # replicated tiny pose solve (odometry + prior handled inside)
+        # replicated tiny pose solve (odometry + prior handled inside).
+        # Filter-marginal anchors are replicated pose-shaped terms, so they
+        # pass straight through for parity with the unsharded solve.
         sub = BAProblem(poses=poses0, landmarks=lms_l, obs=obs_l,
                         obs_mask=obs_mask_l, odo_rel=odo_rel,
-                        kf_mask=kf_mask, lm_mask=lm_mask_l)
+                        kf_mask=kf_mask, lm_mask=lm_mask_l,
+                        prior_poses=prob.prior_poses,
+                        prior_iw=prob.prior_iw)
         dxp, cost_odo = _pose_system(poses, U, Hred, bp, sub, cfg,
                                      odo_s, damping, prior)
         # local back-substitution

@@ -155,6 +155,73 @@ def test_pose_graph_closes_loop():
     assert e1 < 0.5 * e0
 
 
+def test_window_ba_gate_holds_healthy_poses():
+    """When BA agrees with the filter to within its sigma, corrections are
+    NOT committed (window BA re-solves with strictly less data than the
+    filter fused; sub-sigma corrections are noise)."""
+    from cv_monoslam_tpu.backend.session import BackendSession, Keyframe
+
+    rng = np.random.default_rng(4)
+    cfg = SlamConfig(dtype="float64", ba_window=4, ba_iters=6,
+                     ba_apply_gate=3.0)
+    bs = BackendSession(cfg, max_nodes=8, max_lms=16)
+    prob, poses_gt, lms_gt = _make_problem(rng, W=5, L=12, perturb=0.0)
+    obs = np.asarray(prob.obs)
+    mask = np.asarray(prob.obs_mask)
+    for w in range(5):
+        sel = np.flatnonzero(mask[w])
+        bs.keyframes.append(Keyframe(
+            frame=w, pose=poses_gt[w].copy(), odo=poses_gt[w],
+            lids=sel + 1, pixels=obs[w, sel], xyz=lms_gt[sel],
+            pose_sigma=np.full(3, 0.05)))
+    before = [k.pose.copy() for k in bs.keyframes]
+    out = bs.refine_window()
+    assert out is not None and out["applied"] is False
+    for k, p in zip(bs.keyframes, before):
+        np.testing.assert_array_equal(k.pose, p)
+
+
+def test_geometric_loop_detection_and_correction():
+    """A revisit keyframe whose landmark estimates are a rigidly-drifted
+    copy of an old keyframe's must produce a loop edge whose measurement
+    recovers the drift (fresh landmark ids — the geometric pairing path)."""
+    from cv_monoslam_tpu.backend.session import (BackendSession, Keyframe,
+                                                 _relpose_np)
+
+    rng = np.random.default_rng(5)
+    cfg = SlamConfig(dtype="float64", ba_window=2)
+    bs = BackendSession(cfg, loop_min_sep=3, loop_pair_radius=0.3)
+    lms = np.stack([rng.uniform(-0.5, 0.5, 8), rng.uniform(-0.5, 0.5, 8),
+                    np.full(8, 3.0)], axis=1)
+    # old keyframe: accurate estimates
+    for w in range(4):
+        pose = np.array([0.05 * w, 0.0, 0.02 * w])
+        bs.keyframes.append(Keyframe(
+            frame=w, pose=pose, odo=pose, lids=np.arange(1, 9),
+            pixels=np.zeros((8, 2)), xyz=lms.copy(),
+            pose_sigma=np.full(3, 0.01)))
+    # revisit: same physical landmarks, FRESH ids, rigid drift D
+    dth, t = 0.05, np.array([0.12, -0.08])
+    c, s = np.cos(dth), np.sin(dth)
+    drifted = lms.copy()
+    drifted[:, 0] = c * lms[:, 0] - s * lms[:, 1] + t[0]
+    drifted[:, 1] = s * lms[:, 0] + c * lms[:, 1] + t[1]
+    true_pose = np.array([0.03, 0.01, 0.0])
+    est_pose = np.array([c * true_pose[0] - s * true_pose[1] + t[0],
+                         s * true_pose[0] + c * true_pose[1] + t[1],
+                         true_pose[2] + dth])
+    kf = Keyframe(frame=10, pose=est_pose, odo=est_pose,
+                  lids=np.arange(100, 108), pixels=np.zeros((8, 2)),
+                  xyz=drifted, pose_sigma=np.full(3, 0.05))
+    bs._add(kf)
+    assert len(bs.loop_edges) >= 1
+    i, j, rel, _ = bs.loop_edges[0]
+    # the edge measurement recovers the TRUE relative pose
+    old = bs.keyframes[i]
+    rel_true = _relpose_np(old.pose0, true_pose)
+    np.testing.assert_allclose(rel, rel_true, atol=1e-6)
+
+
 def test_backend_session_end_to_end():
     """Keyframe collection -> window BA -> pose graph on synthetic data."""
     from cv_monoslam_tpu.backend.session import BackendSession, Keyframe
