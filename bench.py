@@ -51,8 +51,8 @@ def bench_primary():
     from cv_monoslam_tpu.api import SlamSession
     from cv_monoslam_tpu.models.oracle import OracleSLAM
 
-    n_frames = 73
-    chunk = 16
+    n_frames = 105          # warmup chunk + 2 timed chunks of 32
+    chunk = 32
     seq, track, gt_xy, gt_th = get_sequence("arc", n_frames, 0)
 
     cfg = SlamConfig(max_landmarks=32, max_new_per_frame=8,

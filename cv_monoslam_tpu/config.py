@@ -110,9 +110,12 @@ class SlamConfig:
     detect_zero_blocks: bool = False
     #: skip detection+integration at runtime via lax.cond when the map is
     #: well-tracked (reference trigger SLAM.cpp:552-562). When False the
-    #: detection always runs and integration is masked — faster on backends
-    #: where conditionals inside scan serialize poorly.
-    gate_detection: bool = False
+    #: detection always runs and integration is masked — the masked path
+    #: still re-factorizes S, so gating is both faster (measured +34% f/s
+    #: at the bench config on TPU v5e: the detection convs + integration
+    #: UT skip entirely on well-tracked frames) and semantically closer to
+    #: the reference.
+    gate_detection: bool = True
 
     # ---- noise (SLAM.cpp:190-198, 240-246) ----
     sigma_measure: float = 3.0   # pixel measurement noise (sqrt)

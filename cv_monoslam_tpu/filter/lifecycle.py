@@ -317,8 +317,12 @@ def integrate_features(state: FilterState, image: jnp.ndarray,
             jnp.zeros((KA,) + lm.match_patch.shape[1:], jnp.float32)),
         xyz=scatter(lm.xyz, xyz),
     )
+    # keep the counter's dtype stable (int32): under x64 the sum promotes
+    # to int64, which breaks lax.cond branch-type matching when the whole
+    # add_features pipeline sits behind the gate_detection conditional
     return replace(state, x=x_new, S=S_new, lm=lm_new,
-                   next_id=state.next_id + n_valid)
+                   next_id=(state.next_id + n_valid).astype(
+                       state.next_id.dtype))
 
 
 def extract_patches(image: jnp.ndarray, corners: jnp.ndarray,

@@ -30,12 +30,20 @@ from ..filter.state import FilterState, replace
 from ..ops.pallas_vision import ncc_score_map, warp_bilinear
 
 
-def _use_pallas(cfg: SlamConfig) -> bool:
+def _use_pallas(cfg: SlamConfig, kernel: str = "warp") -> bool:
+    """Data-driven backend dispatch (scripts/bench_kernels.py on TPU v5e):
+    the fused Pallas warp beats the XLA gather formulation at every M
+    (6.7x at M=512), while for NCC the XLA grouped-conv path overtakes the
+    Pallas kernel from M~128 up (1.4-1.5x at 128/512; tie at 32)."""
     if cfg.vision_backend == "pallas":
         return True
     if cfg.vision_backend == "xla":
         return False
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    if kernel == "ncc":
+        return cfg.max_landmarks < 128
+    return True
 
 
 def warp_matrices(state: FilterState, cfg: SlamConfig) -> jnp.ndarray:
@@ -139,7 +147,7 @@ def ncc_scores(image: jnp.ndarray, centers: jnp.ndarray,
         return jax.lax.dynamic_slice(image, (b[1], b[0]), (Rg, Rg))
     regions = jax.vmap(slice_region)(base).astype(dtype)     # (M, Rg, Rg)
 
-    if cfg is not None and _use_pallas(cfg):
+    if cfg is not None and _use_pallas(cfg, kernel="ncc"):
         return ncc_score_map(regions, patches, pm=Pm, w1=W1), base
 
     # grouped conv: input (1, M, Rg, Rg), kernels (M, 1, Pm, Pm)

@@ -17,12 +17,15 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), "..", ".cache",
-                                   "jax"))
+_CACHE_SUBDIR = "jax"  # persistent compile cache (set after jax import)
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+from cv_monoslam_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache(os.path.join(os.path.dirname(__file__), "..", ".cache",
+                           _CACHE_SUBDIR))
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,31 +44,31 @@ def time_fn(fn, *args, n=30, warmup=3):
 
 
 def bench_ncc(m, hp_match=8, hp_init=10):
+    """Both paths timed through ncc_scores (region gather included) so the
+    comparison is the one the pipeline dispatch actually faces."""
     from cv_monoslam_tpu.config import SlamConfig
     from cv_monoslam_tpu.frontend.matching import ncc_scores
-    from cv_monoslam_tpu.ops.pallas_vision import ncc_score_map
 
     pm = 2 * hp_match + 1
     w1 = 2 * hp_init + 1
-    rg = w1 + pm - 1
     rng = np.random.default_rng(0)
-    regions = jnp.asarray(rng.uniform(0, 255, (m, rg, rg)), jnp.float32)
     patches = jnp.asarray(rng.uniform(0, 255, (m, pm, pm)), jnp.float32)
+    image = jnp.asarray(rng.uniform(0, 255, (480, 640)), jnp.float32)
+    centers = jnp.asarray(rng.integers(40, 400, (m, 2)), jnp.int32)
 
     kk, taps = w1 * w1, pm * pm
     flops = m * (2 * kk * taps * 2      # windows @ [p_hat, ones]
                  + 2 * kk * taps        # wsq contraction
                  + 6 * kk)              # normalization
-    t_pal = time_fn(lambda r, p: ncc_score_map(r, p, pm=pm, w1=w1),
-                    regions, patches)
 
-    cfg = SlamConfig(vision_backend="xla", hp_match=hp_match,
-                     hp_init=hp_init)
-    image = jnp.asarray(rng.uniform(0, 255, (480, 640)), jnp.float32)
-    centers = jnp.asarray(
-        rng.integers(40, 400, (m, 2)), jnp.int32)
-    xla_fn = jax.jit(lambda im, c, p: ncc_scores(im, c, p, cfg)[0])
-    t_xla = time_fn(xla_fn, image, centers, patches)
+    def timed(backend):
+        cfg = SlamConfig(vision_backend=backend, hp_match=hp_match,
+                         hp_init=hp_init)
+        fn = jax.jit(lambda im, c, p: ncc_scores(im, c, p, cfg)[0])
+        return time_fn(fn, image, centers, patches)
+
+    t_pal = timed("pallas")
+    t_xla = timed("xla")
 
     return dict(kernel="ncc", M=m, flops=flops,
                 pallas_ms=t_pal * 1e3, xla_ms=t_xla * 1e3,

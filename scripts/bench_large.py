@@ -15,9 +15,7 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), "..", ".cache",
-                                   "jax"))
+_CACHE_SUBDIR = "jax"  # persistent compile cache (set after jax import)
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
@@ -56,6 +54,11 @@ def dense_sequence(n_frames: int, seed: int = 0, density: float = 60.0):
 def run_large(landmarks: int = 512, frames: int = 24, chunk: int = 8,
               quiet: bool = False):
     import jax
+
+    from cv_monoslam_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache(os.path.join(os.path.dirname(__file__), "..", ".cache",
+                               _CACHE_SUBDIR))
 
     from cv_monoslam_tpu.api import SlamSession
     from cv_monoslam_tpu.config import SlamConfig

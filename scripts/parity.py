@@ -13,13 +13,16 @@ import sys
 
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), "..", ".cache",
-                                   "jax-cpu"))
+_CACHE_SUBDIR = "jax-cpu"  # persistent compile cache (set after jax import)
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(__file__))
 
 import jax
+
+from cv_monoslam_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache(os.path.join(os.path.dirname(__file__), "..", ".cache",
+                           _CACHE_SUBDIR))
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -9,13 +9,16 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), "..", ".cache",
-                                   "jax"))
+_CACHE_SUBDIR = "jax"  # persistent compile cache (set after jax import)
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(__file__))
 
 import jax
+
+from cv_monoslam_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache(os.path.join(os.path.dirname(__file__), "..", ".cache",
+                           _CACHE_SUBDIR))
 import numpy as np
 
 from experiment import get_sequence
