@@ -60,14 +60,11 @@ def bench_primary():
     sess = SlamSession(cfg, seq, track)
     sess.step_chunk(chunk)                      # warmup: compile the scan
     t0 = time.perf_counter()
-    n = 0
-    # full chunks only: an odd-length tail would compile a fresh scan
-    # length inside the timed region
-    while len(sess.track) - sess.counter >= chunk:
-        recs = sess.step_chunk(chunk)
-        if len(recs) < chunk:
-            break
-        n += len(recs)
+    n0 = len(sess.records)
+    # pipelined full chunks only (drop_tail: an odd-length tail would
+    # compile fresh executables inside the timed region)
+    sess.run(chunk=chunk, drop_tail=True)
+    n = len(sess.records) - n0
     engine_dt = (time.perf_counter() - t0) / max(n, 1)
     ate = sess.ate(gt_xy)
 

@@ -282,6 +282,52 @@ class SlamSession:
             self._chunk_steps[k] = jax.jit(chunk)
         return self._chunk_steps[k]
 
+    def _dispatch_chunk(self, k: int) -> Optional[dict]:
+        """Dispatch ONE k-frame scan without materializing its telemetry.
+
+        Returns a pending descriptor (device rows still in flight) or None
+        when a redirect boundary / end of track prevents a full-chunk
+        dispatch. The counter advances immediately (the scan consumed the
+        frames); records appear when :meth:`_finish_chunk` materializes."""
+        k = min(k, len(self.track) - self.counter)
+        if k <= 0 or self._redirect[self.counter:self.counter + k].any():
+            return None
+        ks = self.counter
+        self.timer.start()
+        imgs = self._window_images(ks, k)
+        self.state, rows = self._chunk_fn(k)(
+            self.state, imgs, self._odo[ks - 1:ks - 1 + k],
+            self._odo[ks:ks + k])
+        # prefetch the NEXT window's images while the device computes —
+        # jax dispatch is async, so the H2D upload overlaps the scan
+        ns = ks + k
+        if (ns + k <= len(self.track)
+                and not self._redirect[ns:ns + k].any()):
+            self._prefetch_images(ns, k)
+        self.counter += k
+        return dict(rows=rows, ks=ks, k=k)
+
+    def _finish_chunk(self, pending: dict) -> List[FrameRecord]:
+        """Materialize a dispatched chunk's telemetry (ONE device->host
+        transfer) and run the per-frame host side effects."""
+        ks, k = pending["ks"], pending["k"]
+        rows = np.asarray(pending["rows"])
+        wall = self.timer.stop()
+        recs = []
+        for i in range(k):
+            tele = _unpack_row(rows[i], self.cfg.max_landmarks)
+            rec = FrameRecord(frame=ks + i, pose=tele["pose"],
+                              pose_sqrt_cov=tele["pose_sqrt_cov"],
+                              n_map=int(tele["n_map"]),
+                              n_visible=int(tele["n_visible"]),
+                              n_matched=int(tele["n_matched"]),
+                              redirected=bool(tele["redirected"]),
+                              wall_time=wall / k)
+            recs.append(rec)
+            self.records.append(rec)
+            self._post_frame(rec, tele)
+        return recs
+
     def step_chunk(self, k: int) -> List[FrameRecord]:
         """Process up to ``k`` frames in ONE device dispatch.
 
@@ -313,56 +359,48 @@ class SlamSession:
                     break
                 recs.append(rec)
             return recs
-        self.timer.start()
-        imgs = self._window_images(ks, k)
-        self.state, rows = self._chunk_fn(k)(
-            self.state, imgs, self._odo[ks - 1:ks - 1 + k],
-            self._odo[ks:ks + k])
-        # prefetch the NEXT window's images while the device computes —
-        # jax dispatch is async, so the H2D upload overlaps the scan
-        ns = ks + k
-        if (ns + k <= len(self.track)
-                and not self._redirect[ns:ns + k].any()):
-            self._prefetch_images(ns, k)
-        rows = np.asarray(rows)              # ONE device->host transfer
-        wall = self.timer.stop()
-        recs = []
-        for i in range(k):
-            tele = _unpack_row(rows[i], self.cfg.max_landmarks)
-            rec = FrameRecord(frame=ks + i, pose=tele["pose"],
-                              pose_sqrt_cov=tele["pose_sqrt_cov"],
-                              n_map=int(tele["n_map"]),
-                              n_visible=int(tele["n_visible"]),
-                              n_matched=int(tele["n_matched"]),
-                              redirected=bool(tele["redirected"]),
-                              wall_time=wall / k)
-            recs.append(rec)
-            self.records.append(rec)
-            self.counter += 1
-            self._post_frame(rec, tele)
-        return recs
+        pending = self._dispatch_chunk(k)
+        return self._finish_chunk(pending) if pending else []
 
     def run(self, n_frames: Optional[int] = None,
-            chunk: int = 1) -> np.ndarray:
+            chunk: int = 1, drop_tail: bool = False) -> np.ndarray:
         """AUTO mode: run to the end (or n_frames); returns (T, 4) poses.
 
-        ``chunk > 1`` scans that many frames per device dispatch
-        (fastest; telemetry/recording at chunk granularity).
+        ``chunk > 1`` scans that many frames per device dispatch and
+        PIPELINES the telemetry fetch: chunk i's device->host transfer
+        overlaps chunk i+1's on-device scan (dispatch is async), hiding
+        the round-trip latency that dominates tunneled backends.
+        ``drop_tail`` stops before an incomplete final chunk instead of
+        single-stepping it (benchmarks: a tail would compile fresh
+        single-step executables inside the timed region).
         """
         n = (len(self.track) - self.counter if n_frames is None
              else n_frames)
         if chunk > 1:
-            done = 0
-            while done < n:
-                if n - done < chunk:        # tail: avoid a fresh scan compile
-                    if self.step() is None:
-                        break
-                    done += 1
+            done = 0          # frames with records materialized
+            dispatched = 0    # frames consumed by the device
+            pending = None
+            while True:
+                nxt = (self._dispatch_chunk(chunk)
+                       if n - dispatched >= chunk else None)
+                if pending is not None:
+                    done += len(self._finish_chunk(pending))
+                pending = nxt
+                if nxt is not None:
+                    dispatched += nxt["k"]
                     continue
-                recs = self.step_chunk(chunk)
-                if not recs:
-                    break
-                done += len(recs)
+                # no dispatch: end of track, redirect boundary, or tail
+                if dispatched < n and self.counter < len(self.track):
+                    at_redirect = bool(self._redirect[self.counter])
+                    if at_redirect or not drop_tail:
+                        # single-step through redirects (then resume
+                        # chunking) and through the odd tail
+                        if self.step() is None:
+                            break
+                        done += 1
+                        dispatched += 1
+                        continue
+                break
             return self.trajectory
         for _ in range(n):
             if self.step() is None:

@@ -248,8 +248,14 @@ def ba_solve(prob: BAProblem, cfg: SlamConfig, *, iters: int | None = None,
             poses, landmarks, prob, cfg, pix_sigma, odo_s, damping, prior)
         return (poses, landmarks), cost
 
-    (poses, landmarks), costs = jax.lax.scan(
-        body, (prob.poses, prob.landmarks), None, length=iters)
+    # full f32 matmul precision: TPU dot_general defaults to reduced
+    # (bf16-pass) precision, which is enough to make the normal-equation
+    # Schur solve diverge — Gauss-Newton amplifies the factorization error
+    # every iteration (observed: corrections growing to 1e3 m on-chip while
+    # the identical f32 solve converges on CPU)
+    with jax.default_matmul_precision("highest"):
+        (poses, landmarks), costs = jax.lax.scan(
+            body, (prob.poses, prob.landmarks), None, length=iters)
     return poses, landmarks, costs
 
 

@@ -106,6 +106,9 @@ def pose_graph_solve(g: PoseGraph, *, iters: int = 10,
         nodes, cost = _gn_step(nodes, g, damping, prior_w)
         return nodes, cost
 
-    nodes, costs = jax.lax.scan(body, g.nodes, None, length=iters)
+    # full f32 matmul precision (see ba.ba_solve: default TPU dot precision
+    # destabilizes the normal-equation solve)
+    with jax.default_matmul_precision("highest"):
+        nodes, costs = jax.lax.scan(body, g.nodes, None, length=iters)
     nodes = nodes.at[:, 2].set(tf.wrap_angle(nodes[:, 2]))
     return nodes, costs

@@ -257,6 +257,8 @@ class BackendSession:
             if drift is None:
                 continue
             dth, t, _, rms = drift            # new_xy ~ R(dth) old_xy + t
+            if abs(dth) > 1.0 or float(np.hypot(*t)) > 1.0:
+                continue                      # implausible drift estimate
             c, s = np.cos(dth), np.sin(dth)
             # undo the drift on the new pose: p_true = D^-1(p_est)
             px = kf.pose[0] - t[0]
@@ -342,7 +344,12 @@ class BackendSession:
         sig = np.stack([k.pose_sigma if k.pose_sigma is not None
                         else np.full(3, 0.05) for k in kfs])
         z = float(np.max(np.abs(corr) / np.maximum(sig, 1e-4)))
-        applied = z > self.cfg.ba_apply_gate
+        # sanity bound: a solver failure (ill-conditioned window, divergent
+        # GN) produces corrections far beyond any physical drift — never
+        # commit those
+        sane = (np.all(np.isfinite(poses))
+                and float(np.abs(corr[:, :2]).max()) < 2.0)
+        applied = bool(sane and z > self.cfg.ba_apply_gate)
         if applied:
             for w, kf in enumerate(kfs):
                 kf.pose = poses[w]
@@ -406,8 +413,13 @@ class BackendSession:
             return None
         nodes, costs = pose_graph_solve(g, iters=iters)
         nodes = np.asarray(nodes)
-        for i, kf in enumerate(self.keyframes):
-            kf.pose = nodes[i]
-        return dict(nodes=nodes[: len(self.keyframes)],
-                    costs=np.asarray(costs),
+        n = len(self.keyframes)
+        moved = np.abs(nodes[:n, :2]
+                       - np.stack([k.pose[:2] for k in self.keyframes]))
+        # solver-failure guard (cf refine_window): keep the filter poses
+        # rather than commit a divergent relaxation
+        if np.all(np.isfinite(nodes[:n])) and float(moved.max()) < 5.0:
+            for i, kf in enumerate(self.keyframes):
+                kf.pose = nodes[i]
+        return dict(nodes=nodes[:n], costs=np.asarray(costs),
                     n_loop_edges=len(self.loop_edges))

@@ -149,7 +149,8 @@ def cmd_run(args) -> int:
                        path=os.path.join(out_dir, "map3d.png"))
         img = images.get(int(track.frame_id[sess.counter - 1]))
         viz.draw_overlay(img, sess.state, cfg,
-                         path=os.path.join(out_dir, "overlay.png"))
+                         path=os.path.join(out_dir, "overlay.png"),
+                         frame=sess.counter - 1)
         print(f"viz -> {out_dir}/trajectory.png, map3d.png, overlay.png")
     if sess.recorder is not None:
         sess.recorder.close()

@@ -103,9 +103,14 @@ def plot_trajectory(est_xy: np.ndarray, odo_xy: np.ndarray,
 
 
 def draw_overlay(image: np.ndarray, state: FilterState, cfg: SlamConfig,
-                 path: Optional[str] = None):
+                 path: Optional[str] = None,
+                 frame: Optional[int] = None):
     """Camera view + prediction/match markers + innovation ellipses
-    (display2DFeatureModel, SLAM.cpp:3009-3051)."""
+    (display2DFeatureModel, SLAM.cpp:3009-3051).
+
+    ``frame`` overrides the title's frame index (pass the session counter
+    so titles match FrameRecord numbering; defaults to the in-state
+    counter)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -134,7 +139,7 @@ def draw_overlay(image: np.ndarray, state: FilterState, cfg: SlamConfig,
         ax.plot(u, v, "r+", ms=10, mew=1.5)
     ax.set_xlim(0, image.shape[1])
     ax.set_ylim(image.shape[0], 0)
-    ax.set_title(f"frame {int(state.frame)}: "
+    ax.set_title(f"frame {int(state.frame) if frame is None else frame}: "
                  f"{int(visible.sum())} predicted, "
                  f"{int(matched.sum())} matched")
     if path:
