@@ -94,19 +94,20 @@ def bench_large():
 def bench_backend():
     """Config 4: backend-refined vs filter-only ATE in a drift regime.
 
-    Square loop with redirects at the corners (the reference's own loop
-    mechanism re-adds stored features with their original ids), starved
-    map + strong odometry noise so the filter visibly drifts; the backend
-    (gated window BA + loop-closure pose graph) must land below the
-    filter-only ATE."""
+    1.25 laps of a circle whose diameter exceeds the camera's ceiling
+    footprint: mid-run views are disjoint from the start, heading noise
+    accumulates ~1 m of drift, and the final quarter-lap revisits the
+    first. Loop closure (drift-invariant constellation alignment over
+    keyframe-neighborhood landmark unions + pose-graph relaxation) must
+    land the refined trajectory below the filter-only ATE."""
     from experiment import get_sequence
     from cv_monoslam_tpu.api import SlamSession
     from cv_monoslam_tpu.backend.session import BackendSession
     from cv_monoslam_tpu.config import SlamConfig
 
-    seq, track, gt_xy, _ = get_sequence("square", 124, 0, noise=0.05)
-    cfg = SlamConfig(max_landmarks=8, max_new_per_frame=2,
-                     max_detections=16, keyframe_every=5, ba_window=4)
+    seq, track, gt_xy, _ = get_sequence("lap@0.06", 240, 0, noise=0.03)
+    cfg = SlamConfig(max_landmarks=16, max_new_per_frame=4,
+                     max_detections=32, keyframe_every=5, ba_window=4)
     sess = SlamSession(cfg, seq, track, backend=BackendSession(cfg))
     sess.run(chunk=8)
     return dict(ate_filter=float(sess.ate(gt_xy)),

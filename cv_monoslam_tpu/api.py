@@ -207,7 +207,8 @@ class SlamSession:
             kf = self.backend.maybe_add_telemetry(
                 rec.frame, tele["pose"], self._odo[rec.frame],
                 tele["lm_lid"], tele["lm_matched"], tele["lm_match_px"],
-                tele["lm_xyz"], pose_sqrt_cov=tele["pose_sqrt_cov"])
+                tele["lm_xyz"], pose_sqrt_cov=tele["pose_sqrt_cov"],
+                active=tele["lm_active"])
             if kf is not None and len(self.backend.keyframes) >= 2:
                 if len(self.backend.loop_edges) > n_loops:
                     # a loop edge appeared: global pose-graph relaxation
@@ -293,7 +294,8 @@ class SlamSession:
         if k <= 0 or self._redirect[self.counter:self.counter + k].any():
             return None
         ks = self.counter
-        self.timer.start()
+        import time as _time
+        t0 = _time.perf_counter()
         imgs = self._window_images(ks, k)
         self.state, rows = self._chunk_fn(k)(
             self.state, imgs, self._odo[ks - 1:ks - 1 + k],
@@ -305,14 +307,20 @@ class SlamSession:
                 and not self._redirect[ns:ns + k].any()):
             self._prefetch_images(ns, k)
         self.counter += k
-        return dict(rows=rows, ks=ks, k=k)
+        return dict(rows=rows, ks=ks, k=k, t0=t0)
 
     def _finish_chunk(self, pending: dict) -> List[FrameRecord]:
         """Materialize a dispatched chunk's telemetry (ONE device->host
         transfer) and run the per-frame host side effects."""
+        import time as _time
+
         ks, k = pending["ks"], pending["k"]
         rows = np.asarray(pending["rows"])
-        wall = self.timer.stop()
+        # wall time from THIS chunk's dispatch timestamp (the shared
+        # FrameTimer slot is overwritten when the next chunk dispatches
+        # before this one finishes in the pipelined loop)
+        wall = self.timer.record(_time.perf_counter() - pending["t0"],
+                                 frames=k)
         recs = []
         for i in range(k):
             tele = _unpack_row(rows[i], self.cfg.max_landmarks)
@@ -376,11 +384,20 @@ class SlamSession:
         """
         n = (len(self.track) - self.counter if n_frames is None
              else n_frames)
+        # pipelining defers each chunk's host side effects until the next
+        # chunk is already in flight — a watchdog recovery (or a backend
+        # loop-closure) would then act one chunk late, on a state that
+        # already consumed the following frames. With stateful host
+        # observers attached, finish each chunk before dispatching the next.
+        pipelined = self.watchdog is None and self.backend is None
         if chunk > 1:
             done = 0          # frames with records materialized
             dispatched = 0    # frames consumed by the device
             pending = None
             while True:
+                if not pipelined and pending is not None:
+                    done += len(self._finish_chunk(pending))
+                    pending = None
                 nxt = (self._dispatch_chunk(chunk)
                        if n - dispatched >= chunk else None)
                 if pending is not None:
@@ -432,7 +449,11 @@ class SlamSession:
             if j < 0:
                 continue
             kf = kfs[j]
-            p0 = kf.pose0                     # filter pose at keyframe time
+            # IMMUTABLE filter pose at keyframe time (pose0 is the BA
+            # anchor and gets rebased by loop corrections — composing the
+            # live filter pose against a rebased anchor double-applies
+            # the correction)
+            p0 = getattr(kf, "pose_filter", kf.pose0)
             pr = kf.pose                      # refined pose
             # relative SE(2) motion since the keyframe, in the kf frame
             c0, s0 = np.cos(p0[2]), np.sin(p0[2])

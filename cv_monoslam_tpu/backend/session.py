@@ -10,6 +10,7 @@ optimization is new capability per BASELINE config 4.
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import List, Optional
 
 import jax.numpy as jnp
@@ -29,20 +30,40 @@ class Keyframe:
     lids: np.ndarray          # (K,) matched landmark ids
     pixels: np.ndarray        # (K, 2) matched pixel observations
     xyz: np.ndarray           # (K, 3) landmark world estimates
-    pose0: Optional[np.ndarray] = None  # original filter estimate
+    #: BA prior anchor. Starts as the filter estimate and is REBASED when a
+    #: pose-graph loop correction commits (it must stay consistent with the
+    #: rebased landmark evidence, or window BA would revert the correction)
+    pose0: Optional[np.ndarray] = None
     #: (3,) filter pose sigma (x, y, theta) at creation — the BA anchor
     #: weight; None falls back to a loose default
     pose_sigma: Optional[np.ndarray] = None
+    #: full active map at keyframe time (place-recognition constellation;
+    #: a superset of the matched set — loop detection needs every landmark
+    #: the filter knows here, not just this frame's matches)
+    map_lids: Optional[np.ndarray] = None
+    map_xyz: Optional[np.ndarray] = None
+    #: IMMUTABLE original filter pose — the anchor for composing live
+    #: filter poses onto refined keyframes (api.trajectory_refined) and
+    #: the relative-motion MEASUREMENT between consecutive keyframes.
+    #: Never rebased: measurements don't change when estimates do.
+    pose_filter: Optional[np.ndarray] = None
 
     def __post_init__(self):
         if self.pose0 is None:
             self.pose0 = np.asarray(self.pose, dtype=np.float64).copy()
+        if self.pose_filter is None:
+            self.pose_filter = np.asarray(self.pose,
+                                          dtype=np.float64).copy()
+        if self.map_lids is None:
+            self.map_lids = self.lids
+            self.map_xyz = self.xyz
 
 
 def make_keyframe(frame: int, pose4: np.ndarray, odo: np.ndarray,
                   lid: np.ndarray, matched: np.ndarray,
                   match_px: np.ndarray, xyz: np.ndarray,
-                  pose_sqrt_cov: Optional[np.ndarray] = None) -> Keyframe:
+                  pose_sqrt_cov: Optional[np.ndarray] = None,
+                  active: Optional[np.ndarray] = None) -> Keyframe:
     """Build a keyframe from raw per-frame arrays (the ``lm_*`` telemetry
     fields of ``slam_step`` outputs, or a live FilterState)."""
     sel = np.flatnonzero(np.asarray(matched))
@@ -51,6 +72,8 @@ def make_keyframe(frame: int, pose4: np.ndarray, odo: np.ndarray,
     if pose_sqrt_cov is not None:
         sc = np.asarray(pose_sqrt_cov, dtype=np.float64)
         sigma = sc[[0, 1, 3]]                 # (x, y, theta) of (x,y,z,th)
+    map_sel = (np.flatnonzero(np.asarray(active))
+               if active is not None else sel)
     return Keyframe(
         frame=frame,
         pose=np.array([pose[0], pose[1], pose[3]]),
@@ -59,6 +82,8 @@ def make_keyframe(frame: int, pose4: np.ndarray, odo: np.ndarray,
         pixels=np.asarray(match_px)[sel],
         xyz=np.asarray(xyz)[sel],
         pose_sigma=sigma,
+        map_lids=np.asarray(lid)[map_sel],
+        map_xyz=np.asarray(xyz)[map_sel],
     )
 
 
@@ -69,16 +94,15 @@ def keyframe_from_state(frame: int, state: FilterState,
     sc = np.sqrt(np.maximum((S4 * S4).sum(axis=0), 0.0))
     return make_keyframe(frame, state.x[-4:], odo, lm.lid,
                          lm.matched & lm.active, lm.match_px, lm.xyz,
-                         pose_sqrt_cov=sc)
+                         pose_sqrt_cov=sc, active=lm.active)
 
 
 def _mutual_nn_pairs(a_xy: np.ndarray, b_xy: np.ndarray, radius: float):
     """Indices (ia, ib) of mutual nearest neighbours within ``radius``.
 
-    Geometric place recognition: at a revisit, re-detected corners carry
-    fresh landmark ids, so identity must be recovered from world-position
-    proximity (the estimates differ by the accumulated drift, which must
-    stay below half the landmark spacing for pairing to be unambiguous)."""
+    Small-drift pairing only: works when the accumulated drift stays below
+    half the landmark spacing. At a genuine revisit the drift is by
+    definition large — :func:`_constellation_align` handles that regime."""
     if len(a_xy) == 0 or len(b_xy) == 0:
         return None
     d2 = ((a_xy[:, None, :] - b_xy[None, :, :]) ** 2).sum(-1)
@@ -87,6 +111,102 @@ def _mutual_nn_pairs(a_xy: np.ndarray, b_xy: np.ndarray, radius: float):
     ia = np.flatnonzero((na[nb] == np.arange(len(a_xy)))
                         & (d2[np.arange(len(a_xy)), nb] < radius ** 2))
     return ia, nb[ia]
+
+
+def _rigid_apply(dth: float, t: np.ndarray, xy: np.ndarray) -> np.ndarray:
+    c, s = np.cos(dth), np.sin(dth)
+    return np.stack([c * xy[:, 0] - s * xy[:, 1] + t[0],
+                     s * xy[:, 0] + c * xy[:, 1] + t[1]], axis=1)
+
+
+def _one_to_one_inliers(pred: np.ndarray, b_xy: np.ndarray, tol: float):
+    """Greedy one-to-one assignment of predicted points to b within tol.
+
+    Returns (rows, cols): indices into pred / b_xy. Ties on a shared target
+    go to the closer point (lexsort by target then distance) so many-to-one
+    aliasing cannot inflate the inlier count."""
+    d2 = ((pred[:, None, :] - b_xy[None, :, :]) ** 2).sum(-1)
+    nnb = d2.argmin(axis=1)
+    dmin = d2[np.arange(len(pred)), nnb]
+    rows = np.flatnonzero(dmin < tol * tol)
+    if rows.size == 0:
+        return rows, rows
+    order = rows[np.lexsort((dmin[rows], nnb[rows]))]
+    cols = nnb[order]
+    first = np.concatenate([[True], cols[1:] != cols[:-1]])
+    return order[first], cols[first]
+
+
+def _constellation_align(a_xy: np.ndarray, b_xy: np.ndarray, tol: float,
+                         min_inliers: int, max_hyp: int = 256):
+    """Drift-invariant place recognition: rigidly align two landmark
+    constellations by RANSAC over pairwise-DISTANCE-compatible
+    correspondence hypotheses.
+
+    Mutual-NN pairing fails exactly when a loop closure matters — the
+    accumulated drift (which the loop is supposed to remove) exceeds any
+    fixed pairing radius. Inter-landmark distances are invariant to rigid
+    drift, so hypotheses come from point PAIRS whose separations agree
+    within ``2*tol``; each hypothesis is scored by one-to-one inlier count
+    under ``tol`` and the winner is refit by Procrustes on its inliers.
+    Deterministic (hypotheses ranked by distance agreement, capped at
+    ``max_hyp``). Returns (dth, t, (rows, cols), rms) with
+    ``b ~ R(dth) a + t``, or None.
+    """
+    na, nb = len(a_xy), len(b_xy)
+    if na < min_inliers or nb < min_inliers:
+        return None
+    ia, ja = np.triu_indices(na, 1)
+    ib, jb = np.triu_indices(nb, 1)
+    da = np.hypot(*(a_xy[ja] - a_xy[ia]).T)
+    db = np.hypot(*(b_xy[jb] - b_xy[ib]).T)
+    # hypotheses need rotational leverage: baselines well above the noise
+    keep = np.flatnonzero(da > max(4.0 * tol, 0.08))
+    if keep.size == 0:
+        return None
+    diff = np.abs(da[keep][:, None] - db[None, :])
+    pa, pb = np.nonzero(diff < 2.0 * tol)
+    if pa.size == 0:
+        return None
+    order = np.argsort(diff[pa, pb], kind="stable")[: max_hyp // 2]
+    pa = keep[pa[order]]
+    pb = pb[order]
+    best = None
+    for k in range(len(pa)):
+        a0, a1 = ia[pa[k]], ja[pa[k]]
+        # a pair constrains the correspondence up to a swap
+        for b0, b1 in ((ib[pb[k]], jb[pb[k]]), (jb[pb[k]], ib[pb[k]])):
+            va = a_xy[a1] - a_xy[a0]
+            vb = b_xy[b1] - b_xy[b0]
+            dth = float(np.arctan2(vb[1], vb[0]) - np.arctan2(va[1], va[0]))
+            c, s = np.cos(dth), np.sin(dth)
+            t = b_xy[b0] - np.array([c * a_xy[a0, 0] - s * a_xy[a0, 1],
+                                     s * a_xy[a0, 0] + c * a_xy[a0, 1]])
+            rows, cols = _one_to_one_inliers(
+                _rigid_apply(dth, t, a_xy), b_xy, tol)
+            if best is None or len(rows) > best[0]:
+                best = (len(rows), rows, cols)
+                if best[0] >= min(na, nb):
+                    break
+        else:
+            continue
+        break
+    if best is None or best[0] < min_inliers:
+        return None
+    # refit on the winning inlier set, re-gate, refit once more
+    rows, cols = best[1], best[2]
+    for _ in range(2):
+        fit = _procrustes2d(a_xy[rows], b_xy[cols])
+        if fit is None:
+            return None
+        dth, t = fit
+        rows, cols = _one_to_one_inliers(
+            _rigid_apply(dth, t, a_xy), b_xy, tol)
+        if len(rows) < min_inliers:
+            return None
+    res = _rigid_apply(dth, t, a_xy[rows]) - b_xy[cols]
+    rms = float(np.sqrt((res ** 2).sum(1).mean()))
+    return dth, t, (rows, cols), rms
 
 
 def _robust_procrustes2d(a_xy: np.ndarray, b_xy: np.ndarray, tol: float,
@@ -102,27 +222,25 @@ def _robust_procrustes2d(a_xy: np.ndarray, b_xy: np.ndarray, tol: float,
     if n < max(min_pairs, 2):
         return None
     best = None
-    tried = 0
-    for i in range(n - 1):
-        for j in range(i + 1, n):
-            if tried >= max_samples:
-                break
-            tried += 1
-            va = a_xy[j] - a_xy[i]
-            vb = b_xy[j] - b_xy[i]
-            if (va @ va) < 1e-8:
-                continue
-            dth = float(np.arctan2(vb[1], vb[0]) - np.arctan2(va[1], va[0]))
-            c, s = np.cos(dth), np.sin(dth)
-            t = b_xy[i] - np.array([c * a_xy[i, 0] - s * a_xy[i, 1],
-                                    s * a_xy[i, 0] + c * a_xy[i, 1]])
-            pred = np.stack([c * a_xy[:, 0] - s * a_xy[:, 1] + t[0],
-                             s * a_xy[:, 0] + c * a_xy[:, 1] + t[1]], axis=1)
-            res2 = ((pred - b_xy) ** 2).sum(1)
-            inl = res2 < tol ** 2
-            score = int(inl.sum())
-            if best is None or score > best[0]:
-                best = (score, inl)
+    # stride the (i, j) enumeration so the capped sample budget spans the
+    # whole point set instead of exhausting itself on the first few points
+    pairs = list(itertools.combinations(range(n), 2))
+    stride = max(1, -(-len(pairs) // max_samples))
+    for i, j in itertools.islice(pairs[::stride], max_samples):
+        va = a_xy[j] - a_xy[i]
+        vb = b_xy[j] - b_xy[i]
+        if (va @ va) < 1e-8:
+            continue
+        dth = float(np.arctan2(vb[1], vb[0]) - np.arctan2(va[1], va[0]))
+        c, s = np.cos(dth), np.sin(dth)
+        t = b_xy[i] - np.array([c * a_xy[i, 0] - s * a_xy[i, 1],
+                                s * a_xy[i, 0] + c * a_xy[i, 1]])
+        pred = _rigid_apply(dth, t, a_xy)
+        res2 = ((pred - b_xy) ** 2).sum(1)
+        inl = res2 < tol ** 2
+        score = int(inl.sum())
+        if best is None or score > best[0]:
+            best = (score, inl)
     if best is None or best[0] < max(min_pairs, 2):
         return None
     keep = best[1]
@@ -178,7 +296,9 @@ class BackendSession:
                  max_lms: int = 64, loop_min_shared: int = 3,
                  loop_min_sep: Optional[int] = None,
                  loop_pair_radius: float = 0.12,
-                 loop_fit_tol: float = 0.05):
+                 loop_fit_tol: float = 0.05,
+                 loop_geo_min_inliers: int = 5,
+                 loop_max_drift: float = 2.0):
         self.cfg = cfg
         self.max_nodes = max_nodes
         self.max_lms = max_lms
@@ -188,6 +308,15 @@ class BackendSession:
                              else loop_min_sep)
         self.loop_pair_radius = loop_pair_radius
         self.loop_fit_tol = loop_fit_tol
+        #: constellation-path inlier floor: stricter than the id path
+        #: because id-free alignment of random constellations can reach 3-4
+        #: coincidental inliers in a dense blob field
+        self.loop_geo_min_inliers = loop_geo_min_inliers
+        #: sanity cap on the fitted drift magnitude (m)
+        self.loop_max_drift = loop_max_drift
+        #: half-width (in keyframes) of the neighborhood union used as the
+        #: old-place constellation in loop detection
+        self.loop_union_kfs = 2
         self.keyframes: List[Keyframe] = []
         self.loop_edges: List[tuple] = []     # (i, j, rel, (sig_xy, sig_th))
 
@@ -200,14 +329,15 @@ class BackendSession:
         return self._add(keyframe_from_state(frame, state, odo))
 
     def maybe_add_telemetry(self, frame: int, pose4, odo, lid, matched,
-                            match_px, xyz,
-                            pose_sqrt_cov=None) -> Optional[Keyframe]:
+                            match_px, xyz, pose_sqrt_cov=None,
+                            active=None) -> Optional[Keyframe]:
         """Keyframe from chunked-scan telemetry (no FilterState needed)."""
         if frame % self.cfg.keyframe_every != 0:
             return None
         return self._add(make_keyframe(frame, pose4, odo, lid, matched,
                                        match_px, xyz,
-                                       pose_sqrt_cov=pose_sqrt_cov))
+                                       pose_sqrt_cov=pose_sqrt_cov,
+                                       active=active))
 
     def _add(self, kf: Keyframe) -> Optional[Keyframe]:
         if len(kf.lids) == 0:
@@ -221,44 +351,115 @@ class BackendSession:
                                if i > 0 and j > 0]
         return kf
 
+    def _place_constellation(self, i: int, j: int):
+        """Union of active-map landmarks of keyframes ``i ± loop_union_kfs``
+        (bounded away from the new keyframe ``j`` by ``loop_min_sep``),
+        deduplicated by landmark id with the estimate closest in time to
+        keyframe ``i`` winning."""
+        lids_out: list = []
+        pts_out: list = []
+        seen: set = set()
+        for di in sorted(range(-self.loop_union_kfs,
+                               self.loop_union_kfs + 1), key=abs):
+            kidx = i + di
+            if kidx < 0 or kidx >= len(self.keyframes):
+                continue
+            if j - kidx <= self.loop_min_sep:
+                continue
+            nb = self.keyframes[kidx]
+            for lid, xyz in zip(np.asarray(nb.map_lids),
+                                np.asarray(nb.map_xyz)):
+                key = int(lid)
+                if key in seen:
+                    continue
+                seen.add(key)
+                lids_out.append(key)
+                pts_out.append(xyz[:2])
+        if not pts_out:
+            return np.zeros(0, np.int64), np.zeros((0, 2))
+        return np.asarray(lids_out), np.asarray(pts_out)
+
     def _detect_loops(self, kf: Keyframe) -> None:
-        """Shared-landmark loop detection against non-adjacent keyframes —
-        the graph generalization of the reference's re-identification
-        re-add (SLAM.cpp:699-729, 948-1015).
+        """Loop detection against non-adjacent keyframes — the graph
+        generalization of the reference's re-identification re-add
+        (SLAM.cpp:699-729, 948-1015).
 
         The loop edge's relative-pose MEASUREMENT comes from the shared
         landmark geometry, not from the current pose estimates (those
-        contain exactly the drift the loop is supposed to remove): the
-        planar rigid transform D aligning the new keyframe's landmark
-        estimates to the old keyframe's (2D Procrustes) is the accumulated
-        drift, and the corrected new pose is D^-1 applied to the current
-        one."""
+        contain exactly the drift the loop is supposed to remove). Three
+        pairing paths, cheapest first, over the FULL active map at each
+        keyframe (``map_xyz``, not just that frame's matches):
+
+        1. exact landmark-id re-identification (redirect re-adds restore
+           stored ids — the reference's mechanism);
+        2. mutual-NN proximity (drift below the pairing radius);
+        3. drift-invariant constellation alignment — RANSAC over
+           pairwise-distance-compatible correspondences — which is the
+           path that fires at a genuine revisit, where the drift is large.
+
+        The fitted rigid transform D (new ~ D(old)) IS the accumulated
+        drift; the corrected new pose is D^-1 applied to the current one.
+        """
         j = len(self.keyframes)
+        b_pts = np.asarray(kf.map_xyz)[:, :2]
+        last_hit = None                       # suppress near-duplicate edges
         for i, old in enumerate(self.keyframes[:-1]):
             # real revisits only: keyframes well outside the live window
             # (inside it, co-observation is the norm, not a loop)
             if j - i <= self.loop_min_sep:
                 continue
-            # (1) exact re-identification by landmark id — redirect re-adds
-            # restore old ids (the reference's mechanism, SLAM.cpp:948-1015)
-            shared, ia, ib = np.intersect1d(old.lids, kf.lids,
+            if last_hit is not None and i - last_hit <= self.loop_union_kfs:
+                continue                      # same place already matched
+            # place constellation around old keyframe i: the UNION of the
+            # active maps of keyframes i±loop_union_kfs (dedup by id,
+            # central keyframe's estimate wins). A single keyframe's map
+            # shares too few physical landmarks with the revisit view
+            # (slot churn re-picks corners differently on each pass); the
+            # neighborhood union covers the old place densely enough for
+            # the inlier floor to separate real alignments from chance.
+            a_lids, a_pts = self._place_constellation(i, j)
+            drift = None
+            # (1) exact re-identification by landmark id
+            shared, ia, ib = np.intersect1d(a_lids, kf.map_lids,
                                             return_indices=True)
-            if len(shared) < self.loop_min_shared:
-                # (2) geometric place recognition: normal-frame re-detections
-                # carry fresh ids, so pair by world-position proximity
-                pairs = _mutual_nn_pairs(old.xyz[:, :2], kf.xyz[:, :2],
+            if len(shared) >= self.loop_min_shared:
+                drift = _robust_procrustes2d(
+                    a_pts[ia], b_pts[ib], self.loop_fit_tol,
+                    self.loop_min_shared)
+            if drift is None:
+                # (2) small-drift proximity pairing
+                pairs = _mutual_nn_pairs(a_pts, b_pts,
                                          self.loop_pair_radius)
-                if pairs is None or len(pairs[0]) < self.loop_min_shared:
-                    continue
-                ia, ib = pairs
-            a_xy, b_xy = old.xyz[ia, :2], kf.xyz[ib, :2]
-            drift = _robust_procrustes2d(a_xy, b_xy, self.loop_fit_tol,
-                                         self.loop_min_shared)
+                if pairs is not None and len(pairs[0]) >= self.loop_min_shared:
+                    drift = _robust_procrustes2d(
+                        a_pts[pairs[0]], b_pts[pairs[1]],
+                        self.loop_fit_tol, self.loop_min_shared)
+            if drift is None:
+                # (3) large-drift constellation alignment
+                fit = _constellation_align(a_pts, b_pts, self.loop_fit_tol,
+                                           self.loop_geo_min_inliers)
+                if fit is not None:
+                    drift = (fit[0], fit[1], fit[2], fit[3])
             if drift is None:
                 continue
             dth, t, _, rms = drift            # new_xy ~ R(dth) old_xy + t
-            if abs(dth) > 1.0 or float(np.hypot(*t)) > 1.0:
+            if abs(dth) > 1.0 or float(np.hypot(*t)) > self.loop_max_drift:
                 continue                      # implausible drift estimate
+            # covariance-consistency gate: the fitted drift is the
+            # accumulated estimation error between the two keyframes, so
+            # it must lie within what the filter's own pose sigmas allow —
+            # a chance constellation alignment (dense blob fields produce
+            # 5-inlier coincidences) implies a "drift" far beyond 3-sigma
+            # and is rejected here
+            sig_o = (old.pose_sigma if old.pose_sigma is not None
+                     else np.full(3, 0.05))
+            sig_n = (kf.pose_sigma if kf.pose_sigma is not None
+                     else np.full(3, 0.05))
+            xy_bound = max(0.15, 3.0 * float(np.hypot(*sig_o[:2])
+                                             + np.hypot(*sig_n[:2])))
+            th_bound = max(0.15, 3.0 * float(sig_o[2] + sig_n[2]))
+            if float(np.hypot(*t)) > xy_bound or abs(dth) > th_bound:
+                continue
             c, s = np.cos(dth), np.sin(dth)
             # undo the drift on the new pose: p_true = D^-1(p_est)
             px = kf.pose[0] - t[0]
@@ -268,6 +469,7 @@ class BackendSession:
             rel = _relpose_np(old.pose0, corrected)
             sig_xy = max(rms, 0.01)
             self.loop_edges.append((i, j, rel, (sig_xy, max(rms, 0.005))))
+            last_hit = i
 
     # -- solvers ------------------------------------------------------------
 
@@ -378,12 +580,13 @@ class BackendSession:
         for i in range(n - 1):
             a, b = self.keyframes[i], self.keyframes[i + 1]
             eij[k] = (i, i + 1)
-            # consecutive edges: the FILTER's relative motion (pose0), not
-            # raw odometry — the filter is the best local dead-reckoner,
-            # and its sigma growth between the keyframes bounds the edge's
-            # uncertainty (drift accumulates slowly; the floor keeps a
-            # converged filter's edges from becoming hard constraints)
-            erel[k] = _relpose_np(a.pose0, b.pose0)
+            # consecutive edges: the FILTER's relative motion (immutable
+            # pose_filter), not raw odometry — the filter is the best
+            # local dead-reckoner, and its sigma growth between the
+            # keyframes bounds the edge's uncertainty (drift accumulates
+            # slowly; the floor keeps a converged filter's edges from
+            # becoming hard constraints)
+            erel[k] = _relpose_np(a.pose_filter, b.pose_filter)
             if a.pose_sigma is not None and b.pose_sigma is not None:
                 ds = np.abs(b.pose_sigma - a.pose_sigma)
             else:
@@ -420,6 +623,36 @@ class BackendSession:
         # rather than commit a divergent relaxation
         if np.all(np.isfinite(nodes[:n])) and float(moved.max()) < 5.0:
             for i, kf in enumerate(self.keyframes):
-                kf.pose = nodes[i]
+                self._rebase(kf, nodes[i])
         return dict(nodes=nodes[:n], costs=np.asarray(costs),
                     n_loop_edges=len(self.loop_edges))
+
+    @staticmethod
+    def _rebase(kf: Keyframe, new_pose: np.ndarray) -> None:
+        """Commit a graph correction to a keyframe AND rebase its evidence.
+
+        Every piece of window-BA evidence attached to the keyframe (the
+        prior anchor ``pose0``, the landmark xyz estimates) lives in the
+        pre-correction drifted frame; committing only ``pose`` would make
+        the next ``refine_window`` pull the keyframe straight back to the
+        drifted solution (its prior + landmarks still encode it). The
+        rigid correction D = T_new ∘ T_old⁻¹ is therefore applied to the
+        anchor and to both landmark sets as well."""
+        old = np.asarray(kf.pose, dtype=np.float64)
+        dth = float(np.arctan2(np.sin(new_pose[2] - old[2]),
+                               np.cos(new_pose[2] - old[2])))
+        c, s = np.cos(dth), np.sin(dth)
+
+        def apply_xy(xy):
+            rel = xy - old[:2]
+            return new_pose[:2] + np.stack(
+                [c * rel[..., 0] - s * rel[..., 1],
+                 s * rel[..., 0] + c * rel[..., 1]], axis=-1)
+
+        p0 = np.asarray(kf.pose0, dtype=np.float64)
+        kf.pose0 = np.concatenate([apply_xy(p0[:2][None])[0],
+                                   [p0[2] + dth]])
+        for arr in (kf.xyz, kf.map_xyz):
+            if arr is not None and len(arr):
+                arr[:, :2] = apply_xy(arr[:, :2])
+        kf.pose = np.asarray(new_pose, dtype=np.float64).copy()

@@ -123,6 +123,13 @@ def make_trajectory(kind: str = "arc", n: int = 60, step: float = 0.03,
             # full circle returning to the start: early landmarks re-enter
             # the view on the final frames -> exercises loop closure
             dth = 2.0 * np.pi / n
+        elif kind == "lap":
+            # 1.25 laps of a circle: the last quarter RE-TRAVERSES the
+            # first quarter, so several keyframes live in the revisited
+            # region — the loop-closure bench trajectory (with step large
+            # enough that the circle diameter exceeds the ~2.4 m camera
+            # ceiling footprint, mid-run views are disjoint from the start)
+            dth = 2.5 * np.pi / n
         else:
             raise ValueError(kind)
         theta[i] = theta[i - 1] + dth

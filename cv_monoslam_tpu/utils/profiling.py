@@ -39,6 +39,15 @@ class FrameTimer:
         self.n_frames += 1
         return self.frame_time
 
+    def record(self, elapsed: float, frames: int = 1) -> float:
+        """Account an externally-measured interval (pipelined chunk loops
+        carry their own dispatch timestamps — the single ``_t0`` slot
+        would be overwritten by the next chunk's ``start``)."""
+        self.frame_time = elapsed
+        self.total_time += elapsed
+        self.n_frames += frames
+        return elapsed
+
     @property
     def mean_time(self) -> float:
         return self.total_time / max(self.n_frames, 1)

@@ -24,10 +24,18 @@ from cv_monoslam_tpu.models.oracle import OracleSLAM
 CACHE = os.path.join(os.path.dirname(__file__), "..", ".cache", "seq")
 
 
-def get_sequence(kind: str, n: int, seed: int, noise: float = 0.0):
+def get_sequence(kind: str, n: int, seed: int, noise: float = 0.0,
+                 step: float = 0.03):
+    """Cached synthetic sequence. ``kind`` may carry a step suffix
+    (e.g. ``"loop@0.06"``) so revisit-scale trajectories — where the
+    camera footprint (~2.4 m at deep=3) must NOT cover the whole path —
+    get distinct cache entries."""
+    if "@" in kind:
+        kind, s = kind.split("@")
+        step = float(s)
     os.makedirs(CACHE, exist_ok=True)
     key = hashlib.md5(
-        f"{kind}-{n}-{seed}-{noise}-v3".encode()).hexdigest()[:16]
+        f"{kind}-{n}-{seed}-{noise}-{step}-v3".encode()).hexdigest()[:16]
     path = os.path.join(CACHE, key + ".npz")
     cfg = SlamConfig()
     if os.path.exists(path):
@@ -37,7 +45,7 @@ def get_sequence(kind: str, n: int, seed: int, noise: float = 0.0):
                                     min_step_theta=cfg.min_step_theta)
         return ImageSequence(frames=frames), track, gt_xy, gt_th
     world = make_world(seed=seed, cfg=cfg)
-    xy, th = make_trajectory(kind, n=n, step=0.03)
+    xy, th = make_trajectory(kind, n=n, step=step)
     seq, _, gt_xy, gt_th = make_sequence(world, xy, th, cfg=cfg)
     odo_xy, odo_th = noisy_odometry(
         xy, th, np.random.default_rng(seed + 1), sigma_rot=noise)

@@ -1,0 +1,135 @@
+"""Loop-closure pipeline tests (BASELINE config 4; VERDICT r2 item 1).
+
+Covers the drift-invariant constellation place recognition, the rebase
+semantics that keep window BA consistent after a pose-graph commit, and
+the full live pipeline: filter -> keyframes -> loop edge -> graph ->
+refined trajectory on a genuine-revisit sequence. The reference's only
+loop mechanism is the redirection splice (SLAM.cpp:948-1015); the graph
+backend generalizes it, and these tests fail if loop detection regresses
+to "machinery that never fires" (the round-2 state).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from cv_monoslam_tpu.backend.session import (BackendSession, Keyframe,
+                                             _constellation_align)
+from cv_monoslam_tpu.config import SlamConfig
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+def _rigid(dth, t, xy):
+    c, s = np.cos(dth), np.sin(dth)
+    return np.stack([c * xy[:, 0] - s * xy[:, 1] + t[0],
+                     s * xy[:, 0] + c * xy[:, 1] + t[1]], axis=1)
+
+
+class TestConstellationAlign:
+    def test_recovers_large_drift(self):
+        """Pairing must work far beyond any NN radius: 0.8 m translation
+        + 0.4 rad rotation, with outliers on both sides."""
+        rng = np.random.default_rng(3)
+        shared = rng.uniform(-1, 1, size=(7, 2))
+        dth, t = 0.4, np.array([0.8, -0.5])
+        a = np.concatenate([shared, rng.uniform(-1, 1, size=(5, 2))])
+        b = np.concatenate([_rigid(dth, t, shared) +
+                            rng.normal(0, 0.01, (7, 2)),
+                            rng.uniform(2, 4, size=(6, 2))])
+        fit = _constellation_align(a, b, tol=0.05, min_inliers=5)
+        assert fit is not None
+        fdth, ft, (ra, rb), rms = fit
+        assert abs(fdth - dth) < 0.05
+        assert np.hypot(*(ft - t)) < 0.1
+        assert len(ra) >= 5 and rms < 0.05
+
+    def test_rejects_unrelated_sets(self):
+        """Two independent random constellations must not reach the
+        inlier floor (chance 5-point rigid coincidences)."""
+        rng = np.random.default_rng(7)
+        for trial in range(20):
+            a = rng.uniform(-1.5, 1.5, size=(12, 2))
+            b = rng.uniform(-1.5, 1.5, size=(12, 2))
+            fit = _constellation_align(a, b, tol=0.03, min_inliers=6)
+            assert fit is None, f"trial {trial}: chance fit {fit}"
+
+    def test_one_to_one_no_aliasing(self):
+        """A cluster of near-coincident b points must not let one a-point
+        count as several inliers."""
+        a = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0],
+                      [0.5, 0.5]])
+        b = np.concatenate([a, a[:1] + 0.01])        # duplicate target
+        fit = _constellation_align(a, b, tol=0.05, min_inliers=5)
+        assert fit is not None
+        _, _, (ra, rb), _ = fit
+        assert len(np.unique(rb)) == len(rb)
+
+
+class TestRebase:
+    def _kf(self):
+        xyz = np.array([[1.0, 2.0, 3.0], [0.5, -0.5, 3.0]])
+        return Keyframe(frame=10, pose=np.array([1.0, 2.0, 0.3]),
+                        odo=np.zeros(3), lids=np.array([1, 2]),
+                        pixels=np.zeros((2, 2)), xyz=xyz.copy(),
+                        map_lids=np.array([1, 2]), map_xyz=xyz.copy())
+
+    def test_rebase_moves_anchor_not_measurement(self):
+        kf = self._kf()
+        pf_before = kf.pose_filter.copy()
+        new_pose = np.array([1.4, 2.2, 0.45])
+        BackendSession._rebase(kf, new_pose)
+        assert np.allclose(kf.pose, new_pose)
+        # the immutable filter pose (measurement frame) must not move
+        assert np.allclose(kf.pose_filter, pf_before)
+        # the BA anchor follows the correction exactly
+        assert np.allclose(kf.pose0, new_pose)
+
+    def test_rebase_is_rigid_on_landmarks(self):
+        kf = self._kf()
+        d01 = np.linalg.norm(kf.xyz[0, :2] - kf.xyz[1, :2])
+        rel0 = kf.xyz[0, :2] - np.asarray(kf.pose[:2])
+        BackendSession._rebase(kf, np.array([1.5, 1.8, 0.9]))
+        # inter-landmark distances and pose-relative offsets preserved
+        assert np.isclose(
+            np.linalg.norm(kf.xyz[0, :2] - kf.xyz[1, :2]), d01)
+        c, s = np.cos(0.9 - 0.3), np.sin(0.9 - 0.3)
+        want = np.array([c * rel0[0] - s * rel0[1],
+                         s * rel0[0] + c * rel0[1]])
+        assert np.allclose(kf.xyz[0, :2] - kf.pose[:2], want, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_loop_closure_end_to_end():
+    """Live pipeline on a genuine revisit: 1.25 laps of a circle whose
+    diameter exceeds the camera footprint, with heading-random-walk
+    odometry noise. At least one loop edge must fire from real filter
+    telemetry and the pose-graph-refined trajectory must beat the
+    filter-only ATE."""
+    from experiment import get_sequence
+    from cv_monoslam_tpu.api import SlamSession
+
+    seq, track, gt_xy, _ = get_sequence("lap@0.12", 120, 0, noise=0.04)
+    assert len(track) > 100
+    cfg = SlamConfig(max_landmarks=16, max_new_per_frame=4,
+                     max_detections=32, keyframe_every=5, ba_window=4)
+    backend = BackendSession(cfg)
+    sess = SlamSession(cfg, seq, track, backend=backend)
+    sess.run(chunk=8)
+
+    assert len(backend.loop_edges) >= 1, "loop detection never fired"
+    ate_f = sess.ate(gt_xy)
+    ate_r = sess.ate(gt_xy, refined=True)
+    assert ate_r < ate_f * 0.95, (
+        f"backend did not improve: filter {ate_f:.4f} vs "
+        f"refined {ate_r:.4f}")
+    # the closure must visibly pull the final (revisit) segment in
+    ids = [int(track.frame_id[r.frame]) for r in sess.records]
+    tail = slice(-15, None)
+    err_f = np.hypot(*(sess.trajectory[tail, :2]
+                       - gt_xy[ids][tail]).T).mean()
+    err_r = np.hypot(*(sess.trajectory_refined[tail, :2]
+                       - gt_xy[ids][tail]).T).mean()
+    assert err_r < err_f
