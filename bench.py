@@ -67,6 +67,12 @@ def bench_primary():
     n = len(sess.records) - n0
     engine_dt = (time.perf_counter() - t0) / max(n, 1)
     ate = sess.ate(gt_xy)
+    # fixed-length ATE (VERDICT r2 item 9): same 64 leading frames every
+    # round, so the number is comparable across rounds (r2's 0.0512 m was
+    # over a different span than r1's 0.0294 m)
+    ids64 = [int(track.frame_id[r.frame]) for r in sess.records[:64]]
+    err64 = sess.trajectory[:64, :2] - gt_xy[ids64]
+    ate64 = float(np.sqrt((err64 ** 2).sum(axis=1).mean()))
 
     # oracle baseline: serial NumPy math, same sequence prefix
     ocfg = SlamConfig(max_landmarks=32, dtype="float64")
@@ -79,9 +85,25 @@ def bench_primary():
         oracle.step()
         k += 1
     oracle_dt = (time.perf_counter() - t0) / max(k, 1)
-    return dict(fps=1.0 / engine_dt, ate_m=float(ate), frames=n,
-                oracle_fps=1.0 / oracle_dt,
+    return dict(fps=1.0 / engine_dt, ate_m=float(ate), ate64_m=ate64,
+                frames=n, oracle_fps=1.0 / oracle_dt,
                 vs_baseline=engine_dt and (1.0 / engine_dt) * oracle_dt)
+
+
+def bench_parity():
+    """Engine-vs-oracle ATE (the BASELINE metric) — CPU subprocess: the
+    oracle is NumPy and the f64 engine mode is not a TPU dtype."""
+    import subprocess
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "scripts",
+                      "parity_bench.py")],
+        capture_output=True, text=True, timeout=600, env=env)
+    if out.returncode != 0:
+        return {"error": (out.stderr or out.stdout)[-300:]}
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def bench_large():
@@ -144,7 +166,8 @@ def main():
     for name, fn, min_budget in (("config3_large512", bench_large, 900),
                                  ("config4_backend", bench_backend, 420),
                                  ("config2_kernels", bench_kernels_quick,
-                                  300)):
+                                  300),
+                                 ("config1_parity", bench_parity, 240)):
         if remaining() < min_budget:
             details[name] = {"skipped": f"budget ({remaining():.0f}s left)"}
             continue
@@ -160,20 +183,26 @@ def main():
     c3 = details.get("config3_large512", {})
     c4 = details.get("config4_backend", {})
     c2 = details.get("config2_kernels", {})
+    cp = details.get("config1_parity", {})
     extras = []
     if "fps" in c3:
         extras.append(f"M512: {c3['fps']} f/s ATE {c3.get('ate_m')} "
                       f"peak_map {c3.get('peak_map')}")
     if "ate_refined" in c4:
         extras.append(f"BA: {c4['ate_filter']:.4f}->"
-                      f"{c4['ate_refined']:.4f} m")
+                      f"{c4['ate_refined']:.4f} m "
+                      f"({c4.get('loop_edges', 0)} loop edges)")
     if "ncc_m512" in c2:
         extras.append(f"ncc512 pallas {c2['ncc_m512']['pallas_ms']}ms "
                       f"vs xla {c2['ncc_m512']['xla_ms']}ms")
+    if "arc" in cp:
+        extras.append(f"parity arc eng {cp['arc']['ate_engine']} vs "
+                      f"orc {cp['arc']['ate_oracle']}")
     result = {
         "metric": "slam_frames_per_sec",
         "value": round(primary["fps"], 3),
-        "unit": (f"frames/s (ATE {primary['ate_m']:.4f} m, "
+        "unit": (f"frames/s (ATE {primary['ate_m']:.4f} m / "
+                 f"{primary['ate64_m']:.4f} m @64f, "
                  f"{primary['frames']} frames, oracle "
                  f"{primary['oracle_fps']:.2f} f/s"
                  + ("; " + "; ".join(extras) if extras else "") + ")"),
