@@ -30,8 +30,8 @@ from .utils.watchdog import Watchdog
 # device->host transfer for telemetry. On tunneled TPU backends every
 # transfer carries round-trip latency that dwarfs the 7 KB payload — 12
 # separate np.asarray fetches were the dominant cost of the whole frame.
-_SCALAR_FIELDS = 15          # pose 4 + sqrt_cov 4 + 3 counters + redirect
-#                              + health 3
+_SCALAR_FIELDS = 18          # pose 4 + sqrt_cov 4 + 3 counters + redirect
+#                              + health 3 + repair counters 3
 
 
 def _pack_row(out: dict, M: int) -> jnp.ndarray:
@@ -43,6 +43,7 @@ def _pack_row(out: dict, M: int) -> jnp.ndarray:
                    out["n_matched"]]).astype(f32),
         out["redirected"].astype(f32)[None],
         out["health"].astype(f32),
+        out["repairs"].astype(f32),
         out["lm_lid"].astype(f32),
         out["lm_active"].astype(f32),
         out["lm_matched"].astype(f32),
@@ -59,6 +60,7 @@ def _unpack_row(row: np.ndarray, M: int) -> dict:
         n_map=row[8], n_visible=row[9], n_matched=row[10],
         redirected=row[11],
         health=row[12:15] != 0.0,
+        repairs=row[15:18].astype(np.int64),
         lm_lid=row[k:k + M].astype(np.int32),
         lm_active=row[k + M:k + 2 * M] != 0.0,
         lm_matched=row[k + 2 * M:k + 3 * M] != 0.0,
@@ -77,6 +79,12 @@ class FrameRecord:
     n_matched: int
     redirected: bool
     wall_time: float
+    #: cumulative covariance-repair counters up to this frame: minor
+    #: first-rung floors / escalated (reset-grade) repairs / skipped
+    #: updates
+    n_repairs: int = 0
+    n_escalations: int = 0
+    n_skipped: int = 0
 
 
 class SlamSession:
@@ -166,6 +174,9 @@ class SlamSession:
             n_matched=int(out["n_matched"]),
             redirected=bool(out["redirected"]),
             wall_time=self.timer.stop(),
+            n_repairs=int(out["repairs"][0]),
+            n_escalations=int(out["repairs"][1]),
+            n_skipped=int(out["repairs"][2]),
         )
         self.records.append(rec)
         self.counter += 1
@@ -330,7 +341,10 @@ class SlamSession:
                               n_visible=int(tele["n_visible"]),
                               n_matched=int(tele["n_matched"]),
                               redirected=bool(tele["redirected"]),
-                              wall_time=wall / k)
+                              wall_time=wall / k,
+                              n_repairs=int(tele["repairs"][0]),
+                              n_escalations=int(tele["repairs"][1]),
+                              n_skipped=int(tele["repairs"][2]))
             recs.append(rec)
             self.records.append(rec)
             self._post_frame(rec, tele)

@@ -29,7 +29,7 @@ from ..geometry import camera as cam_mod
 from ..geometry import transforms as tf
 from ..ops import qr_r
 from .sigma import deviations, generate_sigma, ut_weights
-from .state import (FilterState, LandmarkTable, StoredTable,
+from .state import (FilterState, LandmarkTable, StoredTable, count_repairs,
                     inactive_feature_defaults, replace)
 
 
@@ -72,11 +72,12 @@ def fold_delete(x: jnp.ndarray, S: jnp.ndarray, delete: jnp.ndarray,
     dtype = x.dtype
     row_mask = jnp.concatenate(
         [jnp.repeat(delete, 6), jnp.zeros(4, bool)])          # (D,)
+    rep = jnp.int32(0)
     if cfg.qr_mode == "gram":
         # structured Gram: T = S diag(1-m), so [T; E]^T [T; E] is S^T S with
         # the masked rows+columns zeroed plus the unit diagonal — one D x D
         # Gram instead of a (2D x D) QR
-        from ..ops.linalg import _chol_psd, gram as _gram
+        from ..ops.linalg import chol_psd_flagged, gram as _gram
 
         G = _gram(S)
         keep = ~row_mask
@@ -84,7 +85,8 @@ def fold_delete(x: jnp.ndarray, S: jnp.ndarray, delete: jnp.ndarray,
         G = G + jnp.diag(row_mask.astype(dtype))
         d = jnp.sqrt(jnp.maximum(jnp.diag(G), 0.0))
         d = jnp.where(d > 0, d, 1.0)
-        S_new = _chol_psd(G / (d[:, None] * d[None, :]), 1e-6) * d[None, :]
+        r, rep = chol_psd_flagged(G / (d[:, None] * d[None, :]), 1e-6)
+        S_new = r * d[None, :]
     else:
         T = jnp.where(row_mask[None, :], 0.0, S)
         E = jnp.diag(row_mask.astype(dtype))
@@ -92,7 +94,7 @@ def fold_delete(x: jnp.ndarray, S: jnp.ndarray, delete: jnp.ndarray,
     defaults = jnp.concatenate(
         [jnp.tile(inactive_feature_defaults(dtype), M), jnp.zeros(4, dtype)])
     x_new = jnp.where(row_mask, defaults, x)
-    return x_new, S_new
+    return x_new, S_new, rep
 
 
 def snapshot_records(state: FilterState, cfg: SlamConfig):
@@ -167,7 +169,7 @@ def update_features(state: FilterState, cfg: SlamConfig) -> FilterState:
     recs = snapshot_records(state, cfg)
     stored = store_features(state.stored, recs, store)
 
-    x_new, S_new = fold_delete(state.x, state.S, delete, cfg)
+    x_new, S_new, rep = fold_delete(state.x, state.S, delete, cfg)
     lm = state.lm
     keep = lm.active & ~delete
     feats = x_new[: 6 * M].reshape(M, 6)
@@ -188,7 +190,8 @@ def update_features(state: FilterState, cfg: SlamConfig) -> FilterState:
         matched=lm.matched & keep,
         xyz=jnp.where(keep[:, None], xyz, lm.xyz),
     )
-    return replace(state, x=x_new, S=S_new, lm=lm_new, stored=stored)
+    return count_repairs(
+        replace(state, x=x_new, S=S_new, lm=lm_new, stored=stored), rep)
 
 
 # ---------------------------------------------------------------------------
@@ -276,9 +279,11 @@ def integrate_features(state: FilterState, image: jnp.ndarray,
         from .motion import structured_sqrt_gram
 
         ridx = jnp.concatenate([pos_rows, ang_rows])
-        S_new = structured_sqrt_gram(state.S, sig_out, ridx, w, na)
+        S_new, rep = structured_sqrt_gram(state.S, sig_out, ridx, w, na,
+                                          with_flag=True)
     else:
         S_new = qr_r(deviations(sig_out, w.wi_sr), cfg.qr_mode)
+        rep = jnp.int32(0)
 
     # landmark records (SLAM.cpp:891-946)
     lm = state.lm
@@ -320,9 +325,10 @@ def integrate_features(state: FilterState, image: jnp.ndarray,
     # keep the counter's dtype stable (int32): under x64 the sum promotes
     # to int64, which breaks lax.cond branch-type matching when the whole
     # add_features pipeline sits behind the gate_detection conditional
-    return replace(state, x=x_new, S=S_new, lm=lm_new,
-                   next_id=(state.next_id + n_valid).astype(
-                       state.next_id.dtype))
+    return count_repairs(
+        replace(state, x=x_new, S=S_new, lm=lm_new,
+                next_id=(state.next_id + n_valid).astype(
+                    state.next_id.dtype)), rep)
 
 
 def extract_patches(image: jnp.ndarray, corners: jnp.ndarray,

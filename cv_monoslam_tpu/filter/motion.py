@@ -24,9 +24,9 @@ import jax.numpy as jnp
 
 from ..config import SlamConfig
 from ..ops import qr_r
-from ..ops.linalg import _chol_psd
+from ..ops.linalg import chol_psd_flagged
 from .sigma import deviations, generate_sigma, ut_weights
-from .state import FilterState, PredictCache, replace
+from .state import FilterState, PredictCache, count_repairs, replace
 
 
 def odometry_control(odo_prev: jnp.ndarray, odo_cur: jnp.ndarray):
@@ -39,7 +39,8 @@ def odometry_control(odo_prev: jnp.ndarray, odo_cur: jnp.ndarray):
 
 
 def structured_sqrt_gram(S: jnp.ndarray, sig_out: jnp.ndarray,
-                         ridx: jnp.ndarray, w, na: int) -> jnp.ndarray:
+                         ridx: jnp.ndarray, w, na: int, *,
+                         with_flag: bool = False):
     """Posterior sqrt factor via a structured Gram — no (2Na x D) QR.
 
     For any UT whose output differs from the prior state only in the rows
@@ -79,14 +80,15 @@ def structured_sqrt_gram(S: jnp.ndarray, sig_out: jnp.ndarray,
     # equilibrated Cholesky (cf ops.linalg.cholqr)
     d = jnp.sqrt(jnp.maximum(jnp.diag(G), 0.0))
     d = jnp.where(d > 0, d, 1.0)
-    r = _chol_psd(G / (d[:, None] * d[None, :]), 1e-6)
-    return r * d[None, :]
+    r, rep = chol_psd_flagged(G / (d[:, None] * d[None, :]), 1e-6)
+    R = r * d[None, :]
+    return (R, rep) if with_flag else R
 
 
 def _motion_sqrt_gram(S: jnp.ndarray, sig: jnp.ndarray, w, D: int,
-                      na: int) -> jnp.ndarray:
+                      na: int):
     return structured_sqrt_gram(S, sig[:D], jnp.array([D - 4, D - 3, D - 1]),
-                                w, na)
+                                w, na, with_flag=True)
 
 
 def motion_predict(state: FilterState, odo_prev: jnp.ndarray,
@@ -129,12 +131,13 @@ def motion_predict(state: FilterState, odo_prev: jnp.ndarray,
     sig = sig.at[D - 1].add(r1 + r2)
 
     x_new = sig[:D] @ w.mean_weights(dtype)
+    rep = jnp.int32(0)
     if cfg.qr_mode == "gram":
-        S_new = _motion_sqrt_gram(state.S, sig, w, D, na)
+        S_new, rep = _motion_sqrt_gram(state.S, sig, w, D, na)
     else:
         S_new = qr_r(deviations(sig[:D], w.wi_sr), cfg.qr_mode)
 
-    new_state = replace(state, x=x_new, S=S_new)
+    new_state = count_repairs(replace(state, x=x_new, S=S_new), rep)
     cache = PredictCache(
         sigma=sig,
         sigma_pix=jnp.zeros((cfg.max_landmarks, 2, sig.shape[1]), dtype),

@@ -172,5 +172,10 @@ def slam_step(state: FilterState, image: jnp.ndarray, odo_prev: jnp.ndarray,
         lm_match_px=lm.match_px,
         lm_xyz=lm.xyz,
         health=health_check(state, cfg),
+        # cumulative covariance-repair counters (VERDICT r2 item 7):
+        # jitter-escalated factorizations + skipped updates, surfaced per
+        # frame so a run surviving on repairs is visibly unhealthy
+        repairs=jnp.stack([state.n_repairs, state.n_escalations,
+                           state.n_skipped]),
     )
     return state, outputs

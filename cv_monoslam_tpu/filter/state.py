@@ -97,6 +97,19 @@ class FilterState:
     stored: StoredTable
     next_id: jnp.ndarray      # () int32
     frame: jnp.ndarray        # () int32 — m_frame.counter
+    #: () int32 — cumulative MINOR covariance repairs: Cholesky needed the
+    #: first-rung jitter floor (routine — near-singular directions occur
+    #: in normal operation; cf the reference's GMW which regularizes
+    #: every recomposition, SLAM.cpp:2197-2327)
+    n_repairs: jnp.ndarray
+    #: () int32 — cumulative ESCALATED repairs: the 1e3x/1e6x jitter
+    #: rungs, i.e. a partial covariance reset. Zero on any healthy run;
+    #: nonzero means the filter is surviving on resets and the run's
+    #: estimates are suspect.
+    n_escalations: jnp.ndarray
+    #: () int32 — cumulative skipped measurement updates (unrepairably
+    #: indefinite posterior; the frame degrades to prediction-only)
+    n_skipped: jnp.ndarray
 
 
 @_dc
@@ -176,6 +189,9 @@ def init_state(cfg: SlamConfig, theta0: float = 0.0,
         x=x, S=S, lm=lm, stored=stored,
         next_id=np.int32(1),
         frame=np.int32(1),
+        n_repairs=np.int32(0),
+        n_escalations=np.int32(0),
+        n_skipped=np.int32(0),
     )
 
 
@@ -191,3 +207,16 @@ def feature_states(state: FilterState, M: int) -> jnp.ndarray:
 
 def replace(obj: Any, **kw) -> Any:
     return dataclasses.replace(obj, **kw)
+
+
+def count_repairs(state: FilterState, *levels) -> FilterState:
+    """Fold chol_psd_flagged repair levels into the state's counters:
+    level 1 -> n_repairs (routine floor), level >= 2 -> n_escalations
+    (partial covariance reset)."""
+    minor = jnp.int32(0)
+    major = jnp.int32(0)
+    for lv in levels:
+        minor = minor + (lv == 1).astype(jnp.int32)
+        major = major + (lv >= 2).astype(jnp.int32)
+    return replace(state, n_repairs=state.n_repairs + minor,
+                   n_escalations=state.n_escalations + major)

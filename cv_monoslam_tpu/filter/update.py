@@ -40,9 +40,9 @@ import jax.numpy as jnp
 
 from ..config import SlamConfig
 from ..ops import chol_downdate, gmw_chol, gram, tri_solve
-from ..ops.linalg import _chol_psd
+from ..ops.linalg import chol_psd_flagged
 from .sigma import ut_weights
-from .state import FilterState, PredictCache, replace
+from .state import FilterState, PredictCache, count_repairs, replace
 
 
 def _deviation_blocks(state: FilterState, cache: PredictCache,
@@ -96,7 +96,7 @@ def _update_gram(state: FilterState, cache: PredictCache,
     pxy = jax.lax.dot_general(                            # (D, 2M)   MXU
         A, Z, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=dtype)
-    ryy = _chol_psd(pyy, 1e-6)                            # (2M, 2M) upper
+    ryy, rep1 = chol_psd_flagged(pyy, 1e-6)               # (2M, 2M) upper
     w_mat = tri_solve(ryy, pxy.T, trans=True)             # Ryy^-T Pxy^T
     dx = w_mat.T @ tri_solve(ryy, nu, trans=True)
     # S' = chol(S^T S - W^T W): Joseph-free Schur complement in sqrt form.
@@ -105,12 +105,15 @@ def _update_gram(state: FilterState, cache: PredictCache,
     # exists for exactly this, SLAM.cpp:2197-2327); an unrepairable frame
     # degrades to "skip this update" rather than poisoning the filter.
     g = gram(state.S) - gram(w_mat)
-    S_new = _chol_psd(g, 1e-6)
+    S_new, rep2 = chol_psd_flagged(g, 1e-6)
     ok = any_match & jnp.all(jnp.isfinite(S_new)) & jnp.all(jnp.isfinite(dx))
+    skipped = (any_match & ~ok).astype(jnp.int32)
 
     x_new = jnp.where(ok, state.x + dx, state.x)
     S_new = jnp.where(ok, S_new, state.S)
-    return replace(state, x=x_new, S=S_new)
+    state = count_repairs(state, rep1, rep2)
+    return replace(state, x=x_new, S=S_new,
+                   n_skipped=state.n_skipped + skipped)
 
 
 def _update_sequential(state: FilterState, cache: PredictCache,

@@ -100,4 +100,5 @@ def state_shardings(mesh: Mesh, cfg: SlamConfig,
         init_theta=rep, init_patch=rep, xyz=rep,
     )
     return FilterState(x=rep, S=rep, lm=lm, stored=stored, next_id=rep,
-                       frame=rep)
+                       frame=rep, n_repairs=rep, n_escalations=rep,
+                       n_skipped=rep)

@@ -81,8 +81,8 @@ def test_fold_delete_gram_matches_householder():
     state = _populated_state(cfg_h, n_active=6)
     delete = jnp.asarray(np.array([1, 0, 1, 0, 0, 1, 0, 0], bool))
 
-    x_h, S_h = fold_delete(state.x, state.S, delete, cfg_h)
-    x_g, S_g = fold_delete(state.x, state.S, delete, cfg_g)
+    x_h, S_h, _ = fold_delete(state.x, state.S, delete, cfg_h)
+    x_g, S_g, _ = fold_delete(state.x, state.S, delete, cfg_g)
 
     np.testing.assert_allclose(np.asarray(x_g), np.asarray(x_h))
     np.testing.assert_allclose(np.asarray(S_g.T @ S_g),

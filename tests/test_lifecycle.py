@@ -36,7 +36,7 @@ def test_fold_delete_is_marginalization(rng):
     D = CFG.state_dim
     P = np.asarray(state.S).T @ np.asarray(state.S)
     delete = np.array([False, True, False, False])
-    x_new, S_new = fold_delete(state.x, state.S, jnp.asarray(delete), CFG)
+    x_new, S_new, _ = fold_delete(state.x, state.S, jnp.asarray(delete), CFG)
     P_new = np.asarray(S_new).T @ np.asarray(S_new)
     keep = [r for r in range(D) if not (6 <= r < 12)]
     # kept block equals the original marginal
