@@ -31,19 +31,16 @@ from ..ops.pallas_vision import ncc_score_map, warp_bilinear
 
 
 def _use_pallas(cfg: SlamConfig, kernel: str = "warp") -> bool:
-    """Data-driven backend dispatch (scripts/bench_kernels.py on TPU v5e):
-    the fused Pallas warp beats the XLA gather formulation at every M
-    (6.7x at M=512), while for NCC the XLA grouped-conv path overtakes the
-    Pallas kernel from M~128 up (1.4-1.5x at 128/512; tie at 32)."""
+    """Data-driven backend dispatch (scripts/bench_kernels.py on TPU v5e,
+    r3): the banded-formulation Pallas NCC kernel beats XLA's grouped
+    conv at every M (0.029 vs 0.032 ms at M=32, 0.020 vs 0.024 at 128,
+    0.031 vs 0.032 at 512), and the Pallas warp beats the XLA gather
+    formulation at every M (4.4x at M=512) — Pallas everywhere on TPU."""
     if cfg.vision_backend == "pallas":
         return True
     if cfg.vision_backend == "xla":
         return False
-    if jax.default_backend() != "tpu":
-        return False
-    if kernel == "ncc":
-        return cfg.max_landmarks < 128
-    return True
+    return jax.default_backend() == "tpu"
 
 
 def warp_matrices(state: FilterState, cfg: SlamConfig) -> jnp.ndarray:
