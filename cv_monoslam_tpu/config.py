@@ -181,6 +181,18 @@ class SlamConfig:
     #: active-search + patch warp), "xla" = grouped-conv/gather formulation,
     #: "auto" = pallas on TPU, xla elsewhere.
     vision_backend: str = "auto"
+    #: sigma-point realization strategy. "full" = materialize the
+    #: (Na, 2Na+1) augmented sigma tensor (the reference's structure,
+    #: SLAM.cpp:1463); "implicit" = never materialize it: the motion UT
+    #: touches only 3 robot rows (those rows are computed directly from
+    #: S columns), the measurement UT runs per landmark in its exact
+    #: 10-dim dependency subspace (21 points instead of 2*(6M+5)+1), and
+    #: the update uses the UT-implied linearization H with Grams of S.
+    #: At M=512 the full tensor is 76 MB re-materialized per stage;
+    #: implicit replaces it with O(D^2) matmuls. Requires
+    #: qr_mode="gram" + update_mode="gram". Equivalent to second order
+    #: (equivalence-tested in tests/test_implicit.py).
+    sigma_mode: str = "full"
     #: compute dtype of the filter core. float64 only on CPU; TPU uses float32.
     dtype: str = "float32"
 
@@ -207,6 +219,12 @@ class SlamConfig:
     def __post_init__(self):
         if self.sigma_rho is None:
             object.__setattr__(self, "sigma_rho", self.rho0 / 2.0)
+        if self.sigma_mode == "implicit" and (
+                self.qr_mode != "gram" or self.update_mode != "gram"):
+            raise ValueError(
+                "sigma_mode='implicit' requires qr_mode='gram' and "
+                "update_mode='gram' (the implicit paths are derived from "
+                "the Gram identities)")
 
     @property
     def rho0(self) -> float:

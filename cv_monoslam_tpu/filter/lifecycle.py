@@ -166,10 +166,19 @@ def update_features(state: FilterState, cfg: SlamConfig) -> FilterState:
     """Deletion pass + Cartesian refresh (SLAM.cpp:2397-2706)."""
     M = cfg.max_landmarks
     delete, store = delete_rules(state, cfg)
-    recs = snapshot_records(state, cfg)
-    stored = store_features(state.stored, recs, store)
+    # most frames delete/store NOTHING: the refactorization (a D x D
+    # Gram + Cholesky) and the per-slot store scan run under lax.cond so
+    # quiet frames pay neither (measured ~4.5 ms/frame at M=512)
+    stored = jax.lax.cond(
+        jnp.any(store),
+        lambda st: store_features(st, snapshot_records(state, cfg), store),
+        lambda st: st,
+        state.stored)
 
-    x_new, S_new, rep = fold_delete(state.x, state.S, delete, cfg)
+    x_new, S_new, rep = jax.lax.cond(
+        jnp.any(delete),
+        lambda: fold_delete(state.x, state.S, delete, cfg),
+        lambda: (jnp.asarray(state.x), jnp.asarray(state.S), jnp.int32(0)))
     lm = state.lm
     keep = lm.active & ~delete
     feats = x_new[: 6 * M].reshape(M, 6)
@@ -197,6 +206,99 @@ def update_features(state: FilterState, cfg: SlamConfig) -> FilterState:
 # ---------------------------------------------------------------------------
 # addition (SLAM.cpp:818-1334)
 # ---------------------------------------------------------------------------
+
+
+def _integrate_implicit(state: FilterState, safe_c: jnp.ndarray,
+                        valid: jnp.ndarray, targets: jnp.ndarray,
+                        cfg: SlamConfig):
+    """Row-space feature integration (sigma_mode="implicit").
+
+    The augmented UT's outputs differ from the prior state only in the
+    6*KA target-slot rows, and the mapping function (SLAM.cpp:1177-1250)
+    reads only the robot rows + each candidate's own 3 noise rows. Every
+    needed row of the sigma set is read straight off a COLUMN of S (the
+    sigma rule chi_i = mu +- gamma*S_row_i) or a noise diagonal, so the
+    (na, 2na+1) tensor — 83 MB at M=512 — is never built. Outputs are
+    identical to the full path up to summation roundoff.
+
+    Returns (x_new, S_new, rep).
+    """
+    dtype = state.x.dtype
+    D = cfg.state_dim
+    KA = cfg.max_new_per_frame
+    na = D + 3 * KA
+    ns = 2 * na + 1
+    w = ut_weights(na, cfg)
+    g = jnp.asarray(w.gamma, dtype)
+    cam = cfg.camera
+
+    def state_rows(idx):
+        """(|idx|, ns) sigma-row values for state rows ``idx``."""
+        cols = jnp.concatenate(
+            [state.S[:, idx], jnp.zeros((3 * KA, idx.shape[0]), dtype)])
+        mu_r = state.x[idx][:, None]
+        return jnp.concatenate(
+            [mu_r, mu_r + g * cols.T, mu_r - g * cols.T], axis=1)
+
+    rob = state_rows(jnp.arange(D - 4, D))                 # (4, ns)
+    pos = rob[:3]                                          # (3, ns)
+    theta_r = rob[3]                                       # (ns,)
+
+    # candidate noise rows: mean +- gamma*noise at their own column only
+    noise = jnp.where(valid[:, None],
+                      jnp.array([cfg.sigma_measure, cfg.sigma_measure,
+                                 cfg.sigma_rho], dtype)[None, :],
+                      jnp.ones((KA, 3), dtype))            # (KA, 3)
+    mu2 = jnp.concatenate(
+        [safe_c, jnp.full((KA, 1), cfg.rho0, dtype)], axis=1)  # (KA, 3)
+    col_p = 1 + D + 3 * jnp.arange(KA)[:, None] + jnp.arange(3)[None, :]
+    base_cols = jnp.zeros((KA, 3, ns), dtype)
+    base_cols = base_cols.at[
+        jnp.arange(KA)[:, None], jnp.arange(3)[None, :], col_p].set(
+            g * noise)
+    base_cols = base_cols.at[
+        jnp.arange(KA)[:, None], jnp.arange(3)[None, :], col_p + na].set(
+            -g * noise)
+    uvr = mu2[:, :, None] + base_cols                      # (KA, 3, ns)
+
+    # mapping function (identical math to the full path)
+    uv = uvr[:, :2].transpose(0, 2, 1)                     # (KA, ns, 2)
+    rho_in = uvr[:, 2]                                     # (KA, ns)
+    rwc = tf.yaw_matrix(theta_r)                           # (ns, 3, 3)
+    ray = cam_mod.image2camera(cam, cam_mod.undistort(cam, uv))
+    hlw = jnp.einsum("sij,ksj->ksi", rwc, ray)             # (KA, ns, 3)
+    ang = tf.world_to_angles(hlw)                          # (KA, ns, 2)
+    if cfg.rho_init_mode == "ceiling":
+        rho_out = rho_in * jnp.cos(ang[..., 1]) * jnp.cos(ang[..., 0])
+    else:
+        rho_out = rho_in
+
+    pos_rows = (6 * targets[:, None] + jnp.arange(3)[None, :]).reshape(-1)
+    ang_rows = (6 * targets[:, None] + 3 + jnp.arange(3)[None, :]).reshape(-1)
+    pos_vals = jnp.broadcast_to(pos[None], (KA, 3, ns)).reshape(-1, ns)
+    ang_vals = jnp.stack(
+        [ang[..., 0], ang[..., 1], rho_out], axis=1).reshape(-1, ns)
+
+    # invalid candidates keep their slots' ORIGINAL sigma rows (exact
+    # no-op, matching the full path's masked scatter)
+    ridx = jnp.concatenate([pos_rows, ang_rows])
+    orig = state_rows(ridx)                                # (6KA, ns)
+    vmask6 = jnp.repeat(valid, 3)
+    vals = jnp.concatenate([pos_vals, ang_vals], axis=0)
+    vals = jnp.where(jnp.concatenate([vmask6, vmask6])[:, None],
+                     vals, orig)
+
+    mw = w.mean_weights(dtype)
+    x_new = jnp.asarray(state.x).at[ridx].set(vals @ mw)
+
+    base = vals[:, :1]
+    Ep = (vals[:, 1:na + 1] - base).T                      # (na, 6KA)
+    Em = (vals[:, na + 1:] - base).T
+    from .motion import structured_sqrt_gram_rows
+
+    S_new, rep = structured_sqrt_gram_rows(state.S, Ep, Em, ridx, w,
+                                           with_flag=True)
+    return x_new, S_new, rep
 
 
 def integrate_features(state: FilterState, image: jnp.ndarray,
@@ -227,6 +329,11 @@ def integrate_features(state: FilterState, image: jnp.ndarray,
     # augmented mean + sqrt (SLAM.cpp:847-869)
     safe_c = jnp.where(valid[:, None], corners,
                        jnp.array([cam.width / 2.0, cam.height / 2.0], dtype))
+    if cfg.sigma_mode == "implicit":
+        x_new, S_new, rep = _integrate_implicit(state, safe_c, valid,
+                                                targets, cfg)
+        return _integrate_records(state, image, corners, valid, targets,
+                                  x_new, S_new, rep, cfg)
     mu2 = jnp.concatenate(
         [safe_c, jnp.full((KA, 1), cfg.rho0, dtype)], axis=1).reshape(-1)
     noise = jnp.where(valid[:, None],
@@ -285,6 +392,19 @@ def integrate_features(state: FilterState, image: jnp.ndarray,
         S_new = qr_r(deviations(sig_out, w.wi_sr), cfg.qr_mode)
         rep = jnp.int32(0)
 
+    return _integrate_records(state, image, corners, valid, targets,
+                              x_new, S_new, rep, cfg)
+
+
+def _integrate_records(state: FilterState, image: jnp.ndarray,
+                       corners: jnp.ndarray, valid: jnp.ndarray,
+                       targets: jnp.ndarray, x_new: jnp.ndarray,
+                       S_new: jnp.ndarray, rep, cfg: SlamConfig):
+    """Shared tail of feature integration: landmark records + counters
+    (SLAM.cpp:891-946), independent of how the UT was realized."""
+    dtype = state.x.dtype
+    M = cfg.max_landmarks
+    KA = cfg.max_new_per_frame
     # landmark records (SLAM.cpp:891-946)
     lm = state.lm
     n_valid = jnp.sum(valid.astype(jnp.int32))

@@ -60,6 +60,19 @@ def structured_sqrt_gram(S: jnp.ndarray, sig_out: jnp.ndarray,
     O(Na * D^2) Householder QR with one Gram at identical UT semantics —
     accuracy equals single-pass CholeskyQR on the deviations.
     """
+    base = sig_out[ridx, :1]                                   # (|R|, 1)
+    Ep = (sig_out[ridx, 1:na + 1] - base).T                    # (Na, |R|)
+    Em = (sig_out[ridx, na + 1:] - base).T                     # (Na, |R|)
+    return structured_sqrt_gram_rows(S, Ep, Em, ridx, w,
+                                     with_flag=with_flag)
+
+
+def structured_gram_rows(S: jnp.ndarray, Ep: jnp.ndarray,
+                         Em: jnp.ndarray, ridx: jnp.ndarray, w):
+    """Posterior covariance GRAM (no factorization) from the touched-row
+    deviations: Ep/Em (Na_aug, |R|) are (chi_i - chi_0) for the +/- sigma
+    branches restricted to rows ``ridx``. The implicit pipeline keeps the
+    Gram and defers the Cholesky to the update stage."""
     dtype = S.dtype
     D = S.shape[0]
     c2g2 = 2.0 * (w.wi_sr * w.gamma) ** 2
@@ -67,21 +80,31 @@ def structured_sqrt_gram(S: jnp.ndarray, sig_out: jnp.ndarray,
         S, S, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=dtype)                          # (D, D)
 
-    base = sig_out[ridx, :1]                                   # (|R|, 1)
-    Ep = (sig_out[ridx, 1:na + 1] - base).T                    # (Na, |R|)
-    Em = (sig_out[ridx, na + 1:] - base).T                     # (Na, |R|)
     cross = (w.wi_sr ** 2 * w.gamma) * (S.T @ (Ep[:D] - Em[:D]))
     grr = (w.wi_sr ** 2) * (Ep.T @ Ep + Em.T @ Em)             # (|R|, |R|)
 
     G = G.at[:, ridx].set(cross)
     G = G.at[ridx, :].set(cross.T)
     G = G.at[ridx[:, None], ridx[None, :]].set(grr)
+    return G
 
-    # equilibrated Cholesky (cf ops.linalg.cholqr)
+
+def equilibrated_chol(G: jnp.ndarray, jitter: float = 1e-6):
+    """Upper sqrt of a covariance Gram via diag-equilibrated, PD-repaired
+    Cholesky (cf ops.linalg.cholqr). Returns (R, repair_level)."""
     d = jnp.sqrt(jnp.maximum(jnp.diag(G), 0.0))
     d = jnp.where(d > 0, d, 1.0)
-    r, rep = chol_psd_flagged(G / (d[:, None] * d[None, :]), 1e-6)
-    R = r * d[None, :]
+    r, rep = chol_psd_flagged(G / (d[:, None] * d[None, :]), jitter)
+    return r * d[None, :], rep
+
+
+def structured_sqrt_gram_rows(S: jnp.ndarray, Ep: jnp.ndarray,
+                              Em: jnp.ndarray, ridx: jnp.ndarray, w, *,
+                              with_flag: bool = False):
+    """Core of :func:`structured_sqrt_gram` taking the propagated-row
+    deviations directly (see :func:`structured_gram_rows`)."""
+    G = structured_gram_rows(S, Ep, Em, ridx, w)
+    R, rep = equilibrated_chol(G)
     return (R, rep) if with_flag else R
 
 
@@ -91,9 +114,92 @@ def _motion_sqrt_gram(S: jnp.ndarray, sig: jnp.ndarray, w, D: int,
                                 w, na, with_flag=True)
 
 
+def motion_predict_implicit(state: FilterState, odo_prev: jnp.ndarray,
+                            odo_cur: jnp.ndarray, cfg: SlamConfig):
+    """Time update without materializing the sigma tensor.
+
+    The motion model touches exactly three state rows {x, y, theta}
+    (SLAM.cpp:1518-1524), and the sigma rule chi_i = mu +- gamma*S_row_i
+    means every sigma point's value at state row j is mu_j +- gamma*S[i,j]
+    — i.e. the (2Na+1)-vector of row-j values is read straight off COLUMN
+    j of S. Propagating only those row-vectors (plus the three control-
+    noise rows) reproduces the full UT's robot-row outputs exactly:
+    the posterior mean of every untouched row is provably mu_j (the +-
+    branches cancel at equal weights), and the sqrt factor comes from the
+    same structured Gram the full path uses. At M=512 this removes a
+    76 MB (Na, 2Na+1) materialization per frame.
+    """
+    dtype = state.x.dtype
+    D = cfg.state_dim
+    na = D + 5
+    ns = 2 * na + 1
+    w = ut_weights(na, cfg)
+
+    rot1, trans, rot2 = odometry_control(odo_prev, odo_cur)
+    mt = jnp.stack([
+        cfg.a1 * rot1 ** 2 + cfg.a2 * trans ** 2,
+        cfg.a3 * trans ** 2 + cfg.a4 * rot1 ** 2 + cfg.a4 * rot2 ** 2,
+        cfg.a1 * rot2 ** 2 + cfg.a2 * trans ** 2,
+    ]).astype(dtype)
+    mt = jnp.minimum(mt, cfg.motion_noise_cap)
+
+    g = jnp.asarray(w.gamma, dtype)
+
+    def state_row(j):
+        """(2Na+1,) values of state row j across the sigma set."""
+        col = jnp.concatenate([state.S[:, j], jnp.zeros(5, dtype)])
+        return jnp.concatenate([state.x[j][None],
+                                state.x[j] + g * col,
+                                state.x[j] - g * col])
+
+    def noise_row(k):
+        """(2Na+1,) values of control-noise row k (diag sqrt mt)."""
+        r = jnp.zeros(ns, dtype)
+        r = r.at[1 + D + k].set(g * mt[k])
+        return r.at[1 + na + D + k].set(-g * mt[k])
+
+    x_row = state_row(D - 4)
+    y_row = state_row(D - 3)
+    th_row = state_row(D - 1)
+    r1 = rot1 - noise_row(0)
+    tr = trans - noise_row(1)
+    r2 = rot2 - noise_row(2)
+    x_row = x_row + tr * jnp.cos(th_row + r1)
+    y_row = y_row + tr * jnp.sin(th_row + r1)
+    th_out = th_row + r1 + r2
+
+    mw = w.mean_weights(dtype)
+    x_new = jnp.asarray(state.x)
+    x_new = x_new.at[D - 4].set(x_row @ mw)
+    x_new = x_new.at[D - 3].set(y_row @ mw)
+    x_new = x_new.at[D - 1].set(th_out @ mw)
+
+    R = jnp.stack([x_row, y_row, th_out])                  # (3, 2Na+1)
+    base = R[:, :1]
+    Ep = (R[:, 1:na + 1] - base).T                         # (Na, 3)
+    Em = (R[:, na + 1:] - base).T
+    ridx = jnp.array([D - 4, D - 3, D - 1])
+    # ONE-CHOL PIPELINE: the predicted covariance stays a Gram; the
+    # measurement reads subspace blocks of it and the update factorizes
+    # (G - W^T W) directly — state.S is STALE until the update refreshes
+    # it (no stage in between reads S; data_association uses lm/pose
+    # fields only)
+    g_pred = structured_gram_rows(state.S, Ep, Em, ridx, w)
+
+    new_state = replace(state, x=x_new)
+    cache = PredictCache(
+        sigma=None, sigma_pix=None,
+        pred=jnp.zeros((cfg.max_landmarks, 2), dtype),
+        g_pred=g_pred,
+    )
+    return new_state, cache
+
+
 def motion_predict(state: FilterState, odo_prev: jnp.ndarray,
                    odo_cur: jnp.ndarray, cfg: SlamConfig):
     """One SRUKF time update. Returns (new_state, PredictCache)."""
+    if cfg.sigma_mode == "implicit":
+        return motion_predict_implicit(state, odo_prev, odo_cur, cfg)
     dtype = state.x.dtype
     D = cfg.state_dim
     na = D + 5

@@ -116,11 +116,25 @@ class FilterState:
 class PredictCache:
     """Propagated sigma points reused across motion -> measurement -> update
     (the reference keeps m_sigma / m_sigma_allPixel / m_allPredictSet across
-    phases, SLAM.cpp:1463, 1615-1691, 2020-2038)."""
+    phases, SLAM.cpp:1463, 1615-1691, 2020-2038).
 
-    sigma: jnp.ndarray        # (Na, 2Na+1) augmented, motion-propagated
-    sigma_pix: jnp.ndarray    # (M, 2, 2Na+1) projected pixels per slot
+    Under ``sigma_mode="implicit"`` the full tensors are never built:
+    ``sigma``/``sigma_pix`` are None and ``h_lin`` carries the UT-implied
+    per-landmark measurement linearization instead."""
+
+    sigma: Any                # (Na, 2Na+1) augmented, motion-propagated
+    sigma_pix: Any            # (M, 2, 2Na+1) projected pixels per slot
     pred: jnp.ndarray         # (M, 2) weighted-mean pixels
+    #: (M, 2, 10) implied measurement Jacobian w.r.t. the landmark's
+    #: 10-dim dependency subspace [feat6, robot4] (implicit mode only)
+    h_lin: Any = None
+    #: (D, D) motion-PREDICTED covariance Gram (implicit mode only). The
+    #: motion stage computes the structured Gram but defers the D x D
+    #: Cholesky: the measurement reads its subspace blocks directly and
+    #: the update factorizes (G - W^T W) — ONE sqrt refactorization per
+    #: frame instead of two, at identical posterior math (the two-chol
+    #: path factorizes G and then re-grams the factor).
+    g_pred: Any = None
 
 
 def inactive_feature_defaults(dtype) -> jnp.ndarray:

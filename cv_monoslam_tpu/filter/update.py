@@ -116,6 +116,78 @@ def _update_gram(state: FilterState, cache: PredictCache,
                    n_skipped=state.n_skipped + skipped)
 
 
+def _update_gram_implicit(state: FilterState, cache: PredictCache,
+                          cfg: SlamConfig) -> FilterState:
+    """Gram update from the UT-implied linearization (sigma_mode implicit).
+
+    With A = the full-state sigma deviations, A^T A = c * S^T S exactly
+    (c = 2*(wi_sr*gamma)^2, the structured-Gram identity), and the
+    innovation deviations are Z = A[:, cols_m] H_m^T per landmark. So
+
+        Pxy = A^T Z = c * (G Hbar^T),   Pyy = Z^T Z = c * Hbar G Hbar^T
+
+    with G = S^T S and Hbar the (2M x D) block-sparse stack of the H_m —
+    everything is Grams of S plus tiny per-landmark (6/4)-dim einsums; the
+    (2Na x 2M) innovation tensor never exists. Posterior identical to
+    `_update_gram` up to the second-order UT agreement of H.
+    """
+    dtype = state.x.dtype
+    D = cfg.state_dim
+    M = cfg.max_landmarks
+    lm = state.lm
+    H = cache.h_lin                                       # (M, 2, 10)
+    any_match = jnp.any(lm.matched)
+    w = ut_weights(D + 5, cfg)
+    c = jnp.asarray(2.0 * (w.wi_sr * w.gamma) ** 2, dtype)
+
+    # one-chol pipeline: the motion stage hands over the predicted
+    # covariance GRAM (state.S is stale); this stage performs the frame's
+    # only D x D factorization, on the posterior
+    G = cache.g_pred if cache.g_pred is not None else gram(state.S)
+
+    # B2 = G Hbar^T (D, 2M), built blockwise from G's landmark/robot cols
+    Gf = G[:, : 6 * M].reshape(D, M, 6)
+    Gr = G[:, D - 4:]
+    B2 = (jnp.einsum("dmi,mki->dmk", Gf, H[:, :, :6])
+          + jnp.einsum("di,mki->dmk", Gr, H[:, :, 6:])).reshape(D, 2 * M)
+    cmask = jnp.repeat(lm.matched, 2)                     # (2M,)
+    B2 = jnp.where(cmask[None, :], B2, 0.0)
+
+    # Pyy = Hbar B2 (2M, 2M), rows of unmatched slots zeroed
+    B2f = B2[: 6 * M].reshape(M, 6, 2 * M)
+    B2r = B2[D - 4:]
+    pyy = (jnp.einsum("mki,mia->mka", H[:, :, :6], B2f)
+           + jnp.einsum("mki,ia->mka", H[:, :, 6:], B2r)).reshape(
+               2 * M, 2 * M)
+    pyy = jnp.where(cmask[:, None], pyy, 0.0)
+    r_noise = jnp.where(cmask, cfg.sigma_measure ** 2, 1.0).astype(dtype)
+    pyy = c * 0.5 * (pyy + pyy.T) + jnp.diag(r_noise)
+    pxy = c * B2
+
+    nu = (lm.match_px - lm.pred).reshape(-1)
+    nu = jnp.where(cmask, nu, 0.0)
+
+    ryy, rep1 = chol_psd_flagged(pyy, 1e-6)
+    w_mat = tri_solve(ryy, pxy.T, trans=True)             # (2M, D)
+    dx = w_mat.T @ tri_solve(ryy, nu, trans=True)
+    g = G - gram(w_mat)
+    from .motion import equilibrated_chol
+
+    S_new, rep2 = equilibrated_chol(g)
+    # a no-match frame factorizes G itself (W = 0): the posterior equals
+    # the prediction and the frame's single Cholesky still refreshes S
+    ok = jnp.all(jnp.isfinite(S_new)) & jnp.all(jnp.isfinite(dx))
+    skipped = (any_match & ~ok).astype(jnp.int32)
+
+    x_new = jnp.where(ok & any_match, state.x + dx, state.x)
+    # unrepairable posterior: fall back to the pre-motion sqrt (finite,
+    # conservative — the frame degrades to prediction-only, counted)
+    S_new = jnp.where(ok, S_new, state.S)
+    state = count_repairs(state, rep1, rep2)
+    return replace(state, x=x_new, S=S_new,
+                   n_skipped=state.n_skipped + skipped)
+
+
 def _update_sequential(state: FilterState, cache: PredictCache,
                        cfg: SlamConfig) -> FilterState:
     """Reference-faithful per-landmark loop (SLAM.cpp:2048-2104)."""
@@ -163,6 +235,8 @@ def kalman_update(state: FilterState, cache: PredictCache,
     if cfg.update_mode == "batched":
         return _update_batched(state, cache, cfg)
     if cfg.update_mode == "gram":
+        if cfg.sigma_mode == "implicit":
+            return _update_gram_implicit(state, cache, cfg)
         return _update_gram(state, cache, cfg)
     if cfg.update_mode == "sequential":
         return _update_sequential(state, cache, cfg)

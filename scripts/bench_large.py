@@ -52,7 +52,7 @@ def dense_sequence(n_frames: int, seed: int = 0, density: float = 60.0):
 
 
 def run_large(landmarks: int = 512, frames: int = 24, chunk: int = 8,
-              quiet: bool = False):
+              quiet: bool = False, density: float = 150.0, **overrides):
     import jax
 
     from cv_monoslam_tpu.utils.compile_cache import enable as _enable_cache
@@ -63,13 +63,21 @@ def run_large(landmarks: int = 512, frames: int = 24, chunk: int = 8,
     from cv_monoslam_tpu.api import SlamSession
     from cv_monoslam_tpu.config import SlamConfig
 
-    seq, track, gt_xy = dense_sequence(frames + chunk + 4)
+    seq, track, gt_xy = dense_sequence(frames + chunk + 4, density=density)
     # min_num drives occupancy (the map refills until that many matches);
     # the raw caps and spacing let a single frame carry 100+ landmarks
-    cfg = SlamConfig(max_landmarks=landmarks, max_new_per_frame=48,
-                     max_detections=192, update_mode="gram", qr_mode="gram",
-                     min_dist=8.0, min_num=min(96, landmarks // 2),
-                     n_initial_raws=96, n_process_raws=96)
+    # gate_detection=False: at this state size the detection lax.cond
+    # costs ~15 ms of pure conditional overhead inside the scan (measured
+    # r3; XLA TPU conditional pathology with a 40+ MB carried state), vs
+    # ~6 ms for just running the masked add every frame — and the starved
+    # map triggers detection almost every frame anyway
+    kw = dict(max_landmarks=landmarks, max_new_per_frame=48,
+              max_detections=192, update_mode="gram", qr_mode="gram",
+              sigma_mode="implicit", gate_detection=False,
+              min_dist=8.0, min_num=min(300, landmarks // 2 + 44),
+              n_initial_raws=96, n_process_raws=96)
+    kw.update(overrides)
+    cfg = SlamConfig(**kw)
     sess = SlamSession(cfg, seq, track)
     sess.step_chunk(chunk)                       # compile
     t0 = time.perf_counter()

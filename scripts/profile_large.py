@@ -80,10 +80,13 @@ def main():
 
     print(f"backend: {jax.default_backend()}")
     M = args.landmarks
+    sigma_mode = os.environ.get("CVMS_SIGMA_MODE", "implicit")
     cfg = SlamConfig(max_landmarks=M, max_new_per_frame=48,
                      max_detections=192, update_mode="gram", qr_mode="gram",
+                     sigma_mode=sigma_mode,
                      min_dist=8.0, min_num=min(96, M // 2),
                      n_initial_raws=96, n_process_raws=96)
+    print(f"sigma_mode={sigma_mode}")
     print(f"M={M}, D={cfg.state_dim}")
 
     if not args.stages_only:
