@@ -110,6 +110,11 @@ class SlamSession:
         self.backend = backend            # BackendSession (keyframes + BA)
         self.refinements: List[dict] = []
         self.timer = FrameTimer()
+        #: chunk-level detect-when-starved gating (see _dispatch_chunk).
+        #: Off by default: single-step and in-graph gating keep exact
+        #: per-frame reference semantics; large-state configs enable it.
+        self.detect_host_gate = False
+        self._last_matched = 0            # latest n_matched seen
 
         # host-side numpy (never index device arrays eagerly — on tunneled
         # backends every eager op is a fresh device compile)
@@ -180,6 +185,7 @@ class SlamSession:
         )
         self.records.append(rec)
         self.counter += 1
+        self._last_matched = rec.n_matched
         self._post_frame(rec, out)
         return rec
 
@@ -273,12 +279,16 @@ class SlamSession:
         self._img_prefetch = (
             (ks, k), jax.device_put(self._stack_window(ks, k)))
 
-    def _chunk_fn(self, k: int):
-        """Jitted ``lax.scan`` over k frames (compiled once per length).
+    def _chunk_fn(self, k: int, detect: bool = True):
+        """Jitted ``lax.scan`` over k frames (compiled once per
+        (length, detect) pair).
 
         Scan outputs are the packed telemetry rows — the host fetches one
-        (k, row) array per chunk."""
-        if k not in self._chunk_steps:
+        (k, row) array per chunk. ``detect=False`` compiles the scan
+        WITHOUT the detection pipeline (host-gated detection cadence —
+        see ``detect_host_gate``)."""
+        key = (k, detect)
+        if key not in self._chunk_steps:
             cfg = self.cfg
             M = cfg.max_landmarks
 
@@ -286,13 +296,13 @@ class SlamSession:
                 def body(s, inp):
                     img, op, oc = inp
                     s, out = slam_step(s, img.astype(cfg.dtype), op, oc,
-                                       False, cfg)
+                                       False, cfg, allow_detect=detect)
                     return s, _pack_row(out, M)
 
                 return jax.lax.scan(body, st, (imgs, odo_prev, odo_cur))
 
-            self._chunk_steps[k] = jax.jit(chunk)
-        return self._chunk_steps[k]
+            self._chunk_steps[key] = jax.jit(chunk)
+        return self._chunk_steps[key]
 
     def _dispatch_chunk(self, k: int) -> Optional[dict]:
         """Dispatch ONE k-frame scan without materializing its telemetry.
@@ -308,7 +318,15 @@ class SlamSession:
         import time as _time
         t0 = _time.perf_counter()
         imgs = self._window_images(ks, k)
-        self.state, rows = self._chunk_fn(k)(
+        # host-gated detection cadence: the reference's detect-when-
+        # starved trigger (SLAM.cpp:552-562) decided per CHUNK from the
+        # latest materialized match telemetry — at large state the
+        # in-graph lax.cond costs ~15 ms/frame of conditional overhead,
+        # while two specialized executables cost one extra compile
+        detect = True
+        if self.detect_host_gate:
+            detect = self._last_matched < self.cfg.min_num
+        self.state, rows = self._chunk_fn(k, detect)(
             self.state, imgs, self._odo[ks - 1:ks - 1 + k],
             self._odo[ks:ks + k])
         # prefetch the NEXT window's images while the device computes —
@@ -348,6 +366,8 @@ class SlamSession:
             recs.append(rec)
             self.records.append(rec)
             self._post_frame(rec, tele)
+        if recs:
+            self._last_matched = recs[-1].n_matched
         return recs
 
     def step_chunk(self, k: int) -> List[FrameRecord]:

@@ -123,6 +123,14 @@ def measurement_predict_reduced(state: FilterState, cache: PredictCache,
     hlw = tf.state_to_world(feats, pos)                    # (M, 21, 3)
     hlr = jnp.einsum("msij,msj->msi", rcw, hlw)
     pix = cam_mod.project(cfg.camera, hlr)                 # (M, 21, 2)
+    # sentinel guard: sigma points whose projection leaves the image get
+    # the CENTER projection (zero deviation) instead of (0,0). A border
+    # landmark with live sentinel points otherwise produces a garbage
+    # linearization H with ~1e4-scale entries, and the f32 cancellation
+    # G - W^T W then loses PSD by O(1) — measured r3 as ~1.5 escalated
+    # covariance repairs per frame at D=3076 before this guard.
+    live = jnp.any(pix != 0.0, axis=-1, keepdims=True)     # (M, 21, 1)
+    pix = jnp.where(live, pix, pix[:, :1])
 
     mean = jnp.einsum("msi,s->mi", pix, w_r.mean_weights(dtype))
     lm = state.lm

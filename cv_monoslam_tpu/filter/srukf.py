@@ -106,7 +106,7 @@ def initialize(state: FilterState, image: jnp.ndarray,
 
 def slam_step(state: FilterState, image: jnp.ndarray, odo_prev: jnp.ndarray,
               odo_cur: jnp.ndarray, redirect: jnp.ndarray | bool,
-              cfg: SlamConfig):
+              cfg: SlamConfig, *, allow_detect: bool = True):
     """One frame. Returns (new_state, outputs dict).
 
     ``redirect`` may be a traced bool (both branches live under one
@@ -116,6 +116,12 @@ def slam_step(state: FilterState, image: jnp.ndarray, odo_prev: jnp.ndarray,
     than either branch alone; the host driver (api.SlamSession) segments
     frame chunks at redirection boundaries so the hot scan never carries
     the cond.
+
+    ``allow_detect=False`` compiles the step WITHOUT the detection/
+    integration pipeline at all — the host-gated detection cadence
+    (api.SlamSession) alternates between the two executables based on
+    live match telemetry, because at large state the detection lax.cond
+    costs ~15 ms of pure conditional overhead inside a scan.
     """
 
     def normal(state):
@@ -124,6 +130,8 @@ def slam_step(state: FilterState, image: jnp.ndarray, odo_prev: jnp.ndarray,
         state = data_association(state, image, cfg)
         state = kalman_update(state, cache, cfg)
         state = update_features(state, cfg)
+        if not allow_detect:
+            return state
         n_matched = jnp.sum(state.lm.matched & state.lm.active)
         # reference trigger: detect only when matches < minNUM
         # (SLAM.cpp:552-562). Two executions: lax.cond skips the whole

@@ -225,12 +225,13 @@ def replace(obj: Any, **kw) -> Any:
 
 def count_repairs(state: FilterState, *levels) -> FilterState:
     """Fold chol_psd_flagged repair levels into the state's counters:
-    level 1 -> n_repairs (routine floor), level >= 2 -> n_escalations
-    (partial covariance reset)."""
+    levels 1-3 -> n_repairs (floors up to 1e-3 * jitter-scale — benign
+    regularization), level 4 -> n_escalations (the 1e6x rung: a partial
+    covariance reset)."""
     minor = jnp.int32(0)
     major = jnp.int32(0)
     for lv in levels:
-        minor = minor + (lv == 1).astype(jnp.int32)
-        major = major + (lv >= 2).astype(jnp.int32)
+        minor = minor + ((lv >= 1) & (lv <= 3)).astype(jnp.int32)
+        major = major + (lv >= 4).astype(jnp.int32)
     return replace(state, n_repairs=state.n_repairs + minor,
                    n_escalations=state.n_escalations + major)

@@ -104,8 +104,14 @@ def _update_gram(state: FilterState, cache: PredictCache,
     # when many strong updates land at once (the reference's GMW fallback
     # exists for exactly this, SLAM.cpp:2197-2327); an unrepairable frame
     # degrades to "skip this update" rather than poisoning the filter.
-    g = gram(state.S) - gram(w_mat)
-    S_new, rep2 = chol_psd_flagged(g, 1e-6)
+    # equilibrated Schur subtraction (see _update_gram_implicit): raw f32
+    # subtraction destroys small posterior eigenvalues at large D
+    G = gram(state.S)
+    dg = jnp.sqrt(jnp.maximum(jnp.diag(G), 0.0))
+    dg = jnp.where(dg > 0, dg, 1.0)
+    g_eq = G / (dg[:, None] * dg[None, :]) - gram(w_mat / dg[None, :])
+    S_eq, rep2 = chol_psd_flagged(g_eq, 1e-6)
+    S_new = S_eq * dg[None, :]
     ok = any_match & jnp.all(jnp.isfinite(S_new)) & jnp.all(jnp.isfinite(dx))
     skipped = (any_match & ~ok).astype(jnp.int32)
 
@@ -170,10 +176,18 @@ def _update_gram_implicit(state: FilterState, cache: PredictCache,
     ryy, rep1 = chol_psd_flagged(pyy, 1e-6)
     w_mat = tri_solve(ryy, pxy.T, trans=True)             # (2M, D)
     dx = w_mat.T @ tri_solve(ryy, nu, trans=True)
-    g = G - gram(w_mat)
-    from .motion import equilibrated_chol
-
-    S_new, rep2 = equilibrated_chol(g)
+    # Schur subtraction in the EQUILIBRATED metric: G and W^T W carry
+    # entries spanning ~6 decades across state dims (position vs rho
+    # blocks); subtracting raw f32 matrices destroys posterior
+    # eigenvalues below eps * ||G|| and forced escalated repairs ~1.5x
+    # per frame at D=3076 (measured r3 — the repair telemetry caught
+    # it). Scaling to unit diagonal first keeps every direction's
+    # eigenvalue RELATIVE, then the factor is unscaled.
+    dg = jnp.sqrt(jnp.maximum(jnp.diag(G), 0.0))
+    dg = jnp.where(dg > 0, dg, 1.0)
+    g_eq = G / (dg[:, None] * dg[None, :]) - gram(w_mat / dg[None, :])
+    S_eq, rep2 = chol_psd_flagged(g_eq, 1e-6)
+    S_new = S_eq * dg[None, :]
     # a no-match frame factorizes G itself (W = 0): the posterior equals
     # the prediction and the frame's single Cholesky still refreshes S
     ok = jnp.all(jnp.isfinite(S_new)) & jnp.all(jnp.isfinite(dx))

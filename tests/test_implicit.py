@@ -34,6 +34,11 @@ def _populated_state(cfg, seed=0, n_act=8):
     filter covariance scale (pixel-level pose sigma). Huge covariances
     put the UT in the sentinel-mixing regime where NO sigma rule is
     meaningful; a working filter never lives there."""
+    import jax.numpy as _jnp
+
+    from cv_monoslam_tpu.geometry import camera as cam_mod
+    from cv_monoslam_tpu.geometry import transforms as tf
+
     rng = np.random.default_rng(seed)
     state = init_state(cfg)
     lm = state.lm
@@ -41,12 +46,20 @@ def _populated_state(cfg, seed=0, n_act=8):
     lm.lid[:n_act] = np.arange(1, n_act + 1)
     x = state.x
     x[-4:] = [0.3, -0.2, 0.0, 0.4]
+    # place landmarks by BACK-PROJECTING interior pixels (so predictions
+    # land well inside the image: the interior-only comparisons below
+    # need several non-border landmarks)
+    cam = cfg.camera
+    pix = np.stack([
+        cam.cx + rng.uniform(-130, 130, n_act),
+        cam.cy + rng.uniform(-110, 110, n_act)], axis=1)
+    uv_u = np.asarray(cam_mod.undistort(cam, _jnp.asarray(pix)))
+    ray = np.asarray(cam_mod.image2camera(cam, _jnp.asarray(uv_u)))
+    rwc = np.asarray(tf.yaw_matrix(_jnp.asarray(0.4)))
+    ang = np.asarray(tf.world_to_angles(_jnp.asarray(ray @ rwc.T)))
     for i in range(n_act):
-        # anchors at the robot, ray angles near the optical axis offset
-        # by theta so the landmark lands well inside the image
-        x[6 * i: 6 * i + 6] = [0.25, -0.15, 0.0,
-                               0.4 + rng.normal(0, 0.10),
-                               rng.normal(0, 0.08), 1.0 / cfg.deep]
+        x[6 * i: 6 * i + 6] = [0.3, -0.2, 0.0, ang[i, 0], ang[i, 1],
+                               1.0 / cfg.deep]
     D = cfg.state_dim
     A = rng.normal(0, 0.002, (D, D))
     S = np.triu(A) + np.diag(rng.uniform(0.004, 0.02, D))
@@ -89,7 +102,16 @@ def test_reduced_measurement_close_to_full():
     vf = np.asarray(sf.lm.visible)
     vi = np.asarray(si_.lm.visible)
     np.testing.assert_array_equal(vi[act], vf[act])
-    sel = act & vf
+    # compare INTERIOR landmarks only: near the border the full path's
+    # sigma projections mix (0,0) sentinels into the mean (a documented
+    # bias of the reference structure), while the reduced path's sentinel
+    # guard replaces dead points with the centre projection — the two
+    # intentionally disagree exactly there (see measurement_predict_reduced)
+    pf_all = np.asarray(sf.lm.pred)
+    interior = ((pf_all[:, 0] > 60) & (pf_all[:, 0] < 580)
+                & (pf_all[:, 1] > 60) & (pf_all[:, 1] < 420))
+    sel = act & vf & interior
+    assert sel.sum() >= 2, "fixture leaves too few interior landmarks"
     # predicted pixels: both are valid UTs of the same marginal; they
     # differ in higher-order terms which the Murray scheme AMPLIFIES at
     # large Na (its center mean-weight is 1 - Na/3 ~ -24 here, vs -2.3
@@ -113,9 +135,14 @@ def test_implicit_update_posterior_close():
     for name, cfg in (("full", cfg_f), ("imp", cfg_i)):
         s, c = motion_predict(state, *odo, cfg)
         s, c = measurement_predict(s, c, cfg)
-        # synthetic matches: observed = predicted + fixed offset
+        # synthetic matches: observed = predicted + fixed offset.
+        # INTERIOR landmarks only — near the border the two paths'
+        # predictions intentionally differ (sentinel guard, see
+        # test_reduced_measurement_close_to_full)
         lm = s.lm
-        matched = lm.visible & lm.active
+        interior = ((lm.pred[:, 0] > 60) & (lm.pred[:, 0] < 580)
+                    & (lm.pred[:, 1] > 60) & (lm.pred[:, 1] < 420))
+        matched = lm.visible & lm.active & interior
         match_px = lm.pred + jnp.where(
             matched[:, None], jnp.asarray([1.5, -2.0]), 0.0)
         s = replace(s, lm=replace(lm, matched=matched, match_px=match_px))
