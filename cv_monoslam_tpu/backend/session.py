@@ -297,7 +297,7 @@ class BackendSession:
                  loop_min_sep: Optional[int] = None,
                  loop_pair_radius: float = 0.12,
                  loop_fit_tol: float = 0.05,
-                 loop_geo_min_inliers: int = 5,
+                 loop_geo_min_inliers: int = 6,
                  loop_max_drift: float = 2.0):
         self.cfg = cfg
         self.max_nodes = max_nodes
@@ -309,8 +309,10 @@ class BackendSession:
         self.loop_pair_radius = loop_pair_radius
         self.loop_fit_tol = loop_fit_tol
         #: constellation-path inlier floor: stricter than the id path
-        #: because id-free alignment of random constellations can reach 3-4
-        #: coincidental inliers in a dense blob field
+        #: because id-free alignment of random constellations reaches 5
+        #: coincidental inliers often enough to inject false loop edges
+        #: (measured r3 on the lap scenario: 5 -> 3 false edges and a
+        #: DEGRADED refined ATE; 6 -> the genuine edge only)
         self.loop_geo_min_inliers = loop_geo_min_inliers
         #: sanity cap on the fitted drift magnitude (m)
         self.loop_max_drift = loop_max_drift

@@ -90,12 +90,15 @@ def measurement_predict_reduced(state: FilterState, cache: PredictCache,
         FR = G[idx6][:, :, D - 4:]                         # (M, 6, 4)
         RR = G[D - 4:, D - 4:]
     else:
+        import jax as _jax
+
+        hp = _jax.lax.Precision.HIGHEST    # covariance path: full f32
         S = state.S
         S_feat = S[:, : 6 * M].reshape(D, M, 6)
         S_rob = S[:, D - 4:]
-        FF = jnp.einsum("dmi,dmj->mij", S_feat, S_feat)
-        FR = jnp.einsum("dmi,dj->mij", S_feat, S_rob)
-        RR = S_rob.T @ S_rob
+        FF = jnp.einsum("dmi,dmj->mij", S_feat, S_feat, precision=hp)
+        FR = jnp.einsum("dmi,dj->mij", S_feat, S_rob, precision=hp)
+        RR = jnp.matmul(S_rob.T, S_rob, precision=hp)
     cov = jnp.concatenate([
         jnp.concatenate([FF, FR], axis=2),
         jnp.concatenate([jnp.swapaxes(FR, 1, 2),

@@ -75,13 +75,16 @@ def structured_gram_rows(S: jnp.ndarray, Ep: jnp.ndarray,
     Gram and defers the Cholesky to the update stage."""
     dtype = S.dtype
     D = S.shape[0]
+    hp = jax.lax.Precision.HIGHEST      # covariance path: full f32 dots
     c2g2 = 2.0 * (w.wi_sr * w.gamma) ** 2
     G = c2g2 * jax.lax.dot_general(
         S, S, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=dtype)                          # (D, D)
+        preferred_element_type=dtype, precision=hp)            # (D, D)
 
-    cross = (w.wi_sr ** 2 * w.gamma) * (S.T @ (Ep[:D] - Em[:D]))
-    grr = (w.wi_sr ** 2) * (Ep.T @ Ep + Em.T @ Em)             # (|R|, |R|)
+    cross = (w.wi_sr ** 2 * w.gamma) * jnp.matmul(
+        S.T, (Ep[:D] - Em[:D]), precision=hp)
+    grr = (w.wi_sr ** 2) * (jnp.matmul(Ep.T, Ep, precision=hp)
+                            + jnp.matmul(Em.T, Em, precision=hp))
 
     G = G.at[:, ridx].set(cross)
     G = G.at[ridx, :].set(cross.T)

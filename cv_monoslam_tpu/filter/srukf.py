@@ -155,6 +155,12 @@ def slam_step(state: FilterState, image: jnp.ndarray, odo_prev: jnp.ndarray,
                              should_add=True)
         return state
 
+    # NOTE: covariance-path contractions pin Precision.HIGHEST at the op
+    # level (ops.linalg.gram and friends) — TPU's default bf16-pass dots
+    # made every covariance Gram indefinite at condition ~1e5 (measured
+    # r3 at D=3076: a reset-grade Cholesky repair per frame, then
+    # divergence; same failure and fix as the BA solver, backend/ba.py).
+    # The vision/detection kernels keep the fast default precision.
     if isinstance(redirect, bool):
         state = redirected(state) if redirect else normal(state)
         redirect = jnp.asarray(redirect)

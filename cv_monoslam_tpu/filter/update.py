@@ -95,29 +95,22 @@ def _update_gram(state: FilterState, cache: PredictCache,
     pyy = gram(Z) + jnp.diag(r_noise)                     # (2M, 2M)  MXU
     pxy = jax.lax.dot_general(                            # (D, 2M)   MXU
         A, Z, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=dtype)
-    ryy, rep1 = chol_psd_flagged(pyy, 1e-6)               # (2M, 2M) upper
-    w_mat = tri_solve(ryy, pxy.T, trans=True)             # Ryy^-T Pxy^T
-    dx = w_mat.T @ tri_solve(ryy, nu, trans=True)
-    # S' = chol(S^T S - W^T W): Joseph-free Schur complement in sqrt form.
-    # The f32 covariance-space subtraction can go indefinite past repair
-    # when many strong updates land at once (the reference's GMW fallback
-    # exists for exactly this, SLAM.cpp:2197-2327); an unrepairable frame
-    # degrades to "skip this update" rather than poisoning the filter.
-    # equilibrated Schur subtraction (see _update_gram_implicit): raw f32
-    # subtraction destroys small posterior eigenvalues at large D
+        preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST)
+    # joint-Gram Cholesky: the Schur complement emerges inside one
+    # backward-stable factorization (see _joint_schur_chol) instead of
+    # the f32-cancellation-prone explicit G - W^T W (the reference's GMW
+    # fallback exists for exactly that failure, SLAM.cpp:2197-2327); an
+    # unrepairable frame degrades to "skip this update" rather than
+    # poisoning the filter.
     G = gram(state.S)
-    dg = jnp.sqrt(jnp.maximum(jnp.diag(G), 0.0))
-    dg = jnp.where(dg > 0, dg, 1.0)
-    g_eq = G / (dg[:, None] * dg[None, :]) - gram(w_mat / dg[None, :])
-    S_eq, rep2 = chol_psd_flagged(g_eq, 1e-6)
-    S_new = S_eq * dg[None, :]
+    S_new, dx, rep = _joint_schur_chol(pyy, pxy, G, nu)
     ok = any_match & jnp.all(jnp.isfinite(S_new)) & jnp.all(jnp.isfinite(dx))
     skipped = (any_match & ~ok).astype(jnp.int32)
 
     x_new = jnp.where(ok, state.x + dx, state.x)
     S_new = jnp.where(ok, S_new, state.S)
-    state = count_repairs(state, rep1, rep2)
+    state = count_repairs(state, rep)
     return replace(state, x=x_new, S=S_new,
                    n_skipped=state.n_skipped + skipped)
 
@@ -151,20 +144,22 @@ def _update_gram_implicit(state: FilterState, cache: PredictCache,
     # only D x D factorization, on the posterior
     G = cache.g_pred if cache.g_pred is not None else gram(state.S)
 
+    hp = jax.lax.Precision.HIGHEST      # covariance path: full f32 dots
     # B2 = G Hbar^T (D, 2M), built blockwise from G's landmark/robot cols
     Gf = G[:, : 6 * M].reshape(D, M, 6)
     Gr = G[:, D - 4:]
-    B2 = (jnp.einsum("dmi,mki->dmk", Gf, H[:, :, :6])
-          + jnp.einsum("di,mki->dmk", Gr, H[:, :, 6:])).reshape(D, 2 * M)
+    B2 = (jnp.einsum("dmi,mki->dmk", Gf, H[:, :, :6], precision=hp)
+          + jnp.einsum("di,mki->dmk", Gr, H[:, :, 6:],
+                       precision=hp)).reshape(D, 2 * M)
     cmask = jnp.repeat(lm.matched, 2)                     # (2M,)
     B2 = jnp.where(cmask[None, :], B2, 0.0)
 
     # Pyy = Hbar B2 (2M, 2M), rows of unmatched slots zeroed
     B2f = B2[: 6 * M].reshape(M, 6, 2 * M)
     B2r = B2[D - 4:]
-    pyy = (jnp.einsum("mki,mia->mka", H[:, :, :6], B2f)
-           + jnp.einsum("mki,ia->mka", H[:, :, 6:], B2r)).reshape(
-               2 * M, 2 * M)
+    pyy = (jnp.einsum("mki,mia->mka", H[:, :, :6], B2f, precision=hp)
+           + jnp.einsum("mki,ia->mka", H[:, :, 6:], B2r,
+                        precision=hp)).reshape(2 * M, 2 * M)
     pyy = jnp.where(cmask[:, None], pyy, 0.0)
     r_noise = jnp.where(cmask, cfg.sigma_measure ** 2, 1.0).astype(dtype)
     pyy = c * 0.5 * (pyy + pyy.T) + jnp.diag(r_noise)
@@ -173,23 +168,10 @@ def _update_gram_implicit(state: FilterState, cache: PredictCache,
     nu = (lm.match_px - lm.pred).reshape(-1)
     nu = jnp.where(cmask, nu, 0.0)
 
-    ryy, rep1 = chol_psd_flagged(pyy, 1e-6)
-    w_mat = tri_solve(ryy, pxy.T, trans=True)             # (2M, D)
-    dx = w_mat.T @ tri_solve(ryy, nu, trans=True)
-    # Schur subtraction in the EQUILIBRATED metric: G and W^T W carry
-    # entries spanning ~6 decades across state dims (position vs rho
-    # blocks); subtracting raw f32 matrices destroys posterior
-    # eigenvalues below eps * ||G|| and forced escalated repairs ~1.5x
-    # per frame at D=3076 (measured r3 — the repair telemetry caught
-    # it). Scaling to unit diagonal first keeps every direction's
-    # eigenvalue RELATIVE, then the factor is unscaled.
-    dg = jnp.sqrt(jnp.maximum(jnp.diag(G), 0.0))
-    dg = jnp.where(dg > 0, dg, 1.0)
-    g_eq = G / (dg[:, None] * dg[None, :]) - gram(w_mat / dg[None, :])
-    S_eq, rep2 = chol_psd_flagged(g_eq, 1e-6)
-    S_new = S_eq * dg[None, :]
-    # a no-match frame factorizes G itself (W = 0): the posterior equals
-    # the prediction and the frame's single Cholesky still refreshes S
+    S_new, dx, rep = _joint_schur_chol(pyy, pxy, G, nu)
+    # a no-match frame factorizes G itself (Pxy = 0): the posterior
+    # equals the prediction and the frame's single Cholesky still
+    # refreshes S
     ok = jnp.all(jnp.isfinite(S_new)) & jnp.all(jnp.isfinite(dx))
     skipped = (any_match & ~ok).astype(jnp.int32)
 
@@ -197,9 +179,44 @@ def _update_gram_implicit(state: FilterState, cache: PredictCache,
     # unrepairable posterior: fall back to the pre-motion sqrt (finite,
     # conservative — the frame degrades to prediction-only, counted)
     S_new = jnp.where(ok, S_new, state.S)
-    state = count_repairs(state, rep1, rep2)
+    state = count_repairs(state, rep)
     return replace(state, x=x_new, S=S_new,
                    n_skipped=state.n_skipped + skipped)
+
+
+def _joint_schur_chol(pyy: jnp.ndarray, pxy: jnp.ndarray, G: jnp.ndarray,
+                      nu: jnp.ndarray):
+    """Posterior sqrt + state correction via ONE joint Cholesky.
+
+    Forming W = Ryy^-T Pxy^T explicitly and subtracting G - W^T W loses
+    PSD by ~eps * cond(Pyy) * ||G||: with 300+ matched landmarks sharing
+    the robot-pose error, cond(Pyy) reaches ~1e3-1e4 and the f32
+    subtraction went indefinite by ~1e-2 — escalated covariance resets
+    every frame, then divergence (measured r3). Instead factorize the
+    JOINT matrix
+
+        J = [[Pyy, Pxy^T], [Pxy, G]]  (PSD by construction: a Gram)
+
+    whose upper Cholesky is [[Ryy, Ryx], [0, S']] — the Schur complement
+    emerges inside the backward-stable elimination with error ~eps*||J||,
+    never as an explicit difference. dx = Ryx^T Ryy^-T nu. Joint-diag
+    equilibration keeps small-variance directions representable in f32.
+    """
+    m2 = pyy.shape[0]
+    D = G.shape[0]
+    J = jnp.concatenate([
+        jnp.concatenate([pyy, pxy.T], axis=1),
+        jnp.concatenate([pxy, G], axis=1)], axis=0)
+    dj = jnp.sqrt(jnp.maximum(jnp.diag(J), 0.0))
+    dj = jnp.where(dj > 0, dj, 1.0)
+    Rj, rep = chol_psd_flagged(J / (dj[:, None] * dj[None, :]), 1e-6)
+    R = Rj * dj[None, :]
+    ryy = R[:m2, :m2]
+    ryx = R[:m2, m2:]
+    S_new = R[m2:, m2:]
+    dx = jnp.matmul(ryx.T, tri_solve(ryy, nu, trans=True),
+                    precision=jax.lax.Precision.HIGHEST)
+    return S_new, dx, rep
 
 
 def _update_sequential(state: FilterState, cache: PredictCache,

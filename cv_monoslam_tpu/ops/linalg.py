@@ -29,10 +29,17 @@ import jax.numpy as jnp
 
 
 def gram(a: jnp.ndarray) -> jnp.ndarray:
-    """A^T A with MXU-preferred accumulation."""
+    """A^T A with MXU-preferred accumulation at FULL f32 precision.
+
+    TPU dot_general defaults to bf16-pass precision (eps ~8e-3); a
+    covariance Gram computed that way is indefinite at condition ~1e5
+    and forced reset-grade Cholesky repairs every frame at D=3076
+    (measured r3). Covariance-path contractions pin HIGHEST; the vision
+    kernels keep the fast default."""
     return jax.lax.dot_general(
         a, a, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=a.dtype)
+        preferred_element_type=a.dtype,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def chol_psd_flagged(g: jnp.ndarray, jitter: float):
