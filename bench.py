@@ -110,7 +110,7 @@ def bench_large():
     """Config 3: 512-landmark-capacity SRUKF."""
     from bench_large import run_large
 
-    return run_large(landmarks=512, frames=16, chunk=8, quiet=True)
+    return run_large(landmarks=512, frames=48, chunk=8, quiet=True)
 
 
 def bench_backend():
@@ -127,7 +127,7 @@ def bench_backend():
     from cv_monoslam_tpu.backend.session import BackendSession
     from cv_monoslam_tpu.config import SlamConfig
 
-    seq, track, gt_xy, _ = get_sequence("lap@0.06", 240, 0, noise=0.03)
+    seq, track, gt_xy, _ = get_sequence("lap@0.12", 120, 0, noise=0.04)
     cfg = SlamConfig(max_landmarks=16, max_new_per_frame=4,
                      max_detections=32, keyframe_every=5, ba_window=4)
     sess = SlamSession(cfg, seq, track, backend=BackendSession(cfg))

@@ -92,6 +92,15 @@ class SlamConfig:
     #: (frontend.matching.one_point_ransac; the reference's unfinished
     #: RANSAC branch, SLAM.cpp:2097-2103, 3900-3988)
     threshold_ransac: float = 8.0
+    #: MEASURED r3 (A/B on adversarial synthetic worlds): innovation-
+    #: consensus RANSAC does not improve ATE in this engine's regimes —
+    #: under repetitive-texture (periodic-grid ceiling) aliasing the
+    #: mis-associations are COHERENT, so the consensus aliases with them
+    #: (seeds 5/7: 0.110->0.101 / 0.138->0.147); under scattered
+    #: twin-decoy outliers the chi^2 gate + joint update already absorb
+    #: them and RANSAC only discards good matches (3/3 seeds slightly
+    #: worse). Kept as a reference-parity knob (the reference never
+    #: enabled its branch either); off by default, like the reference.
     use_ransac: bool = False
     #: half-sizes: init patch 21x21, match patch 17x17 (HP_INIT_W/H=10,
     #: HP_MATCH_W/H=8, SLAM.cpp:41-44)

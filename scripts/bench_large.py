@@ -21,9 +21,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def dense_sequence(n_frames: int, seed: int = 0, density: float = 60.0):
+def dense_sequence(n_frames: int, seed: int = 0, density: float = 60.0,
+                   step: float = 0.03):
     """Dense-blob ceiling sequence cached on disk (many concurrent
-    landmarks need a feature-rich world)."""
+    landmarks need a feature-rich world). A SLOW trajectory (small
+    ``step``) keeps landmarks in view: at 0.03 m/frame the view turnover
+    culls the map at ~220 concurrent landmarks regardless of capacity,
+    while a capacity benchmark wants the map FULL."""
     from cv_monoslam_tpu.config import SlamConfig
     from cv_monoslam_tpu.io.dataset import ImageSequence, preprocess_odometry
     from cv_monoslam_tpu.io.synthetic import (make_sequence, make_trajectory,
@@ -32,7 +36,8 @@ def dense_sequence(n_frames: int, seed: int = 0, density: float = 60.0):
     cache = os.path.join(os.path.dirname(__file__), "..", ".cache", "seq")
     os.makedirs(cache, exist_ok=True)
     key = hashlib.md5(
-        f"dense-{n_frames}-{seed}-{density}-v1".encode()).hexdigest()[:16]
+        f"dense-{n_frames}-{seed}-{density}-{step}-v1".encode()
+    ).hexdigest()[:16]
     path = os.path.join(cache, key + ".npz")
     cfg = SlamConfig()
     if os.path.exists(path):
@@ -41,7 +46,7 @@ def dense_sequence(n_frames: int, seed: int = 0, density: float = 60.0):
                                     min_step_theta=cfg.min_step_theta)
         return ImageSequence(frames=d["frames"]), track, d["gt_xy"]
     world = make_world(seed=seed, blob_density=density, cfg=cfg)
-    xy, th = make_trajectory("arc", n=n_frames, step=0.03)
+    xy, th = make_trajectory("arc", n=n_frames, step=step)
     seq, _, gt_xy, _ = make_sequence(world, xy, th, cfg=cfg)
     raw = np.concatenate([np.arange(n_frames, dtype=np.float64)[:, None],
                           xy, th[:, None]], axis=1)
@@ -51,8 +56,8 @@ def dense_sequence(n_frames: int, seed: int = 0, density: float = 60.0):
     return ImageSequence(frames=seq._frames), track, gt_xy
 
 
-def run_large(landmarks: int = 512, frames: int = 24, chunk: int = 8,
-              quiet: bool = False, density: float = 150.0, **overrides):
+def run_large(landmarks: int = 512, frames: int = 48, chunk: int = 8,
+              quiet: bool = False, density: float = 100.0, **overrides):
     import jax
 
     from cv_monoslam_tpu.utils.compile_cache import enable as _enable_cache
@@ -63,7 +68,8 @@ def run_large(landmarks: int = 512, frames: int = 24, chunk: int = 8,
     from cv_monoslam_tpu.api import SlamSession
     from cv_monoslam_tpu.config import SlamConfig
 
-    seq, track, gt_xy = dense_sequence(frames + chunk + 4, density=density)
+    seq, track, gt_xy = dense_sequence(frames + chunk + 4, density=density,
+                                       step=overrides.pop("traj_step", 0.012))
     # min_num drives occupancy (the map refills until that many matches);
     # the raw caps and spacing let a single frame carry 100+ landmarks
     # gate_detection=False: at this state size the detection lax.cond
@@ -74,8 +80,8 @@ def run_large(landmarks: int = 512, frames: int = 24, chunk: int = 8,
     kw = dict(max_landmarks=landmarks, max_new_per_frame=64,
               max_detections=384, update_mode="gram", qr_mode="gram",
               sigma_mode="implicit", gate_detection=False,
-              min_dist=8.0, min_num=min(300, landmarks // 2 + 44),
-              n_initial_raws=96, n_process_raws=96)
+              min_dist=10.0, min_num=min(300, landmarks // 2 + 44),
+              n_initial_raws=256, n_process_raws=256)
     kw.update(overrides)
     cfg = SlamConfig(**kw)
     sess = SlamSession(cfg, seq, track)
@@ -109,7 +115,7 @@ def run_large(landmarks: int = 512, frames: int = 24, chunk: int = 8,
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--landmarks", type=int, default=512)
-    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--frames", type=int, default=48)
     p.add_argument("--chunk", type=int, default=8)
     args = p.parse_args()
     run_large(args.landmarks, args.frames, args.chunk)
