@@ -132,11 +132,17 @@ def bench_backend():
                      max_detections=32, keyframe_every=5, ba_window=4)
     sess = SlamSession(cfg, seq, track, backend=BackendSession(cfg))
     sess.run(chunk=8)
-    return dict(ate_filter=float(sess.ate(gt_xy)),
-                ate_refined=float(sess.ate(gt_xy, refined=True)),
-                keyframes=len(sess.backend.keyframes),
-                loop_edges=len(sess.backend.loop_edges),
-                ba_solves=len(sess.refinements))
+    ate_f = float(sess.ate(gt_xy))
+    ate_r = float(sess.ate(gt_xy, refined=True))
+    out = dict(ate_filter=ate_f, ate_refined=ate_r,
+               improved=bool(ate_r < ate_f),
+               keyframes=len(sess.backend.keyframes),
+               loop_edges=len(sess.backend.loop_edges),
+               ba_solves=len(sess.refinements))
+    # per-edge + BA telemetry so a regressed number explains itself from
+    # the artifact alone (VERDICT r3 weak #4 / next-round items 1, 6)
+    out.update(sess.backend.summary(sess.refinements))
+    return out
 
 
 def bench_kernels_quick():
@@ -176,6 +182,43 @@ def main():
         except Exception as e:  # noqa: BLE001 — record, don't die
             details[name] = {"error": repr(e)[:200]}
 
+    # round-over-round regression gate (VERDICT r3 item 7): compare the
+    # comparable fixed metrics against the previous bench run and emit an
+    # explicit flag instead of a number someone must remember to read
+    hist_path = os.path.join(os.path.dirname(__file__),
+                             "BENCH_HISTORY.json")
+    history = []
+    if os.path.exists(hist_path):
+        try:
+            with open(hist_path) as f:
+                history = json.load(f)
+        except Exception:
+            history = []
+    cur = dict(
+        ate64_m=details["config1_standard"].get("ate64_m"),
+        fps=details["config1_standard"].get("fps"),
+        c3_fps=details.get("config3_large512", {}).get("fps"),
+        c3_ate=details.get("config3_large512", {}).get("ate_m"),
+        c4_improved=details.get("config4_backend", {}).get("improved"),
+        time=time.strftime("%Y-%m-%d %H:%M"),
+    )
+    regressed = []
+    if history:
+        prev = history[-1]
+        if (prev.get("ate64_m") and cur["ate64_m"]
+                and cur["ate64_m"] > prev["ate64_m"] * 1.3):
+            regressed.append(f"ate64 {prev['ate64_m']}->{cur['ate64_m']}")
+        if (prev.get("c3_fps") and cur["c3_fps"]
+                and cur["c3_fps"] < prev["c3_fps"] * 0.9):
+            regressed.append(f"c3_fps {prev['c3_fps']}->{cur['c3_fps']}")
+    if cur["c4_improved"] is False:
+        regressed.append("c4 backend made ATE worse")
+    details["regression"] = dict(regressed=bool(regressed),
+                                 reasons=regressed)
+    history = (history + [cur])[-20:]
+    with open(hist_path, "w") as f:
+        json.dump(history, f, indent=1)
+
     with open(os.path.join(os.path.dirname(__file__),
                            "BENCH_DETAILS.json"), "w") as f:
         json.dump(details, f, indent=1, default=str)
@@ -192,6 +235,9 @@ def main():
         extras.append(f"BA: {c4['ate_filter']:.4f}->"
                       f"{c4['ate_refined']:.4f} m "
                       f"({c4.get('loop_edges', 0)} loop edges)")
+    if details.get("regression", {}).get("regressed"):
+        extras.append("REGRESSED: "
+                      + "; ".join(details["regression"]["reasons"]))
     if "ncc_m512" in c2:
         extras.append(f"ncc512 pallas {c2['ncc_m512']['pallas_ms']}ms "
                       f"vs xla {c2['ncc_m512']['xla_ms']}ms")

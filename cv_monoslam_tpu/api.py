@@ -421,9 +421,14 @@ class SlamSession:
         # pipelining defers each chunk's host side effects until the next
         # chunk is already in flight — a watchdog recovery (or a backend
         # loop-closure) would then act one chunk late, on a state that
-        # already consumed the following frames. With stateful host
-        # observers attached, finish each chunk before dispatching the next.
-        pipelined = self.watchdog is None and self.backend is None
+        # already consumed the following frames; likewise the host-gated
+        # detection decision would read match telemetry up to TWO chunks
+        # stale, so a mid-chunk map collapse could run starved for
+        # 2*chunk frames (advisor r3). With stateful host observers or
+        # host-gated detection, finish each chunk before dispatching the
+        # next.
+        pipelined = (self.watchdog is None and self.backend is None
+                     and not self.detect_host_gate)
         if chunk > 1:
             done = 0          # frames with records materialized
             dispatched = 0    # frames consumed by the device

@@ -127,7 +127,11 @@ def store_features(stored: StoredTable, recs: dict,
     (2) else the first free slot; (3) else the OLDEST slot by insertion
     stamp is evicted."""
     mask = jnp.asarray(mask)
-    recs = {k: jnp.asarray(v) for k, v in recs.items()}
+    # pin each record to its table field's dtype: an f64 record scattered
+    # into an f32 table is a FutureWarning today and an error in future
+    # jax (surfaced by the x64 test suite)
+    recs = {k: jnp.asarray(v, dtype=getattr(stored, k).dtype)
+            for k, v in recs.items()}
 
     def body(st, j):
         def do(st):

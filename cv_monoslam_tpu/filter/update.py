@@ -173,7 +173,11 @@ def _update_gram_implicit(state: FilterState, cache: PredictCache,
     # equals the prediction and the frame's single Cholesky still
     # refreshes S
     ok = jnp.all(jnp.isfinite(S_new)) & jnp.all(jnp.isfinite(dx))
-    skipped = (any_match & ~ok).astype(jnp.int32)
+    # counted regardless of any_match: on a NO-match frame ~ok falls back
+    # to the STALE pre-motion sqrt (the one-chol pipeline never refreshed
+    # state.S), silently dropping the frame's motion noise — telemetry
+    # must surface that, not report a clean frame (advisor r3)
+    skipped = (~ok).astype(jnp.int32)
 
     x_new = jnp.where(ok & any_match, state.x + dx, state.x)
     # unrepairable posterior: fall back to the pre-motion sqrt (finite,

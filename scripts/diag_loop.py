@@ -44,6 +44,12 @@ def main():
     for (i, j, rel, w) in backend.loop_edges:
         print(f"  loop edge {i}->{j}: rel=({rel[0]:+.3f},{rel[1]:+.3f},"
               f"{rel[2]:+.3f}) sig={w}")
+    print("\nedge candidates (accepted + rejected):")
+    for e in backend.edge_log:
+        print(f"  {e}")
+    import json as _json
+    print("summary:", _json.dumps(backend.summary(sess.refinements),
+                                  default=str))
     applied = [r for r in sess.refinements if r.get("applied")]
     zs = [round(r["max_z"], 2) for r in sess.refinements if "max_z" in r]
     print(f"window BA: {len(applied)} applied of {len(sess.refinements)}; "

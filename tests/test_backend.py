@@ -190,7 +190,10 @@ def test_geometric_loop_detection_and_correction():
 
     rng = np.random.default_rng(5)
     cfg = SlamConfig(dtype="float64", ba_window=2)
-    bs = BackendSession(cfg, loop_min_sep=3, loop_pair_radius=0.3)
+    # loop_confirm=1: this test exercises single-sighting DETECTION; the
+    # temporal-consistency commit policy has its own test below
+    bs = BackendSession(cfg, loop_min_sep=3, loop_pair_radius=0.3,
+                        loop_confirm=1)
     lms = np.stack([rng.uniform(-0.5, 0.5, 8), rng.uniform(-0.5, 0.5, 8),
                     np.full(8, 3.0)], axis=1)
     # old keyframe: accurate estimates
