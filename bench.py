@@ -155,7 +155,14 @@ def bench_kernels_quick():
         out[f"ncc_m{m}"] = dict(
             pallas_ms=round(r["pallas_ms"], 3),
             xla_ms=round(r["xla_ms"], 3),
-            pallas_gflops=round(r["pallas_gflops"], 1))
+            dispatch_ms=round(r["pallas_dispatch_ms"], 3),
+            pallas_gflops=round(r["pallas_gflops"], 1),
+            xla_gflops=round(r["xla_gflops"], 1),
+            best_peak_pct=round(
+                100 * max(r["pallas_gflops"], r["xla_gflops"]) * 1e9
+                / 49.2e12, 3),
+            dispatch_winner=("pallas" if r["pallas_ms"] <= r["xla_ms"]
+                             else "xla"))
     r = bench_warp(512)
     out["warp_m512"] = dict(pallas_ms=round(r["pallas_ms"], 3),
                             xla_ms=round(r["xla_ms"], 3))

@@ -32,15 +32,26 @@ from ..ops.pallas_vision import ncc_score_map, warp_bilinear
 
 def _use_pallas(cfg: SlamConfig, kernel: str = "warp") -> bool:
     """Data-driven backend dispatch (scripts/bench_kernels.py on TPU v5e,
-    r3): the banded-formulation Pallas NCC kernel beats XLA's grouped
-    conv at every M (0.029 vs 0.032 ms at M=32, 0.020 vs 0.024 at 128,
-    0.031 vs 0.032 at 512), and the Pallas warp beats the XLA gather
-    formulation at every M (4.4x at M=512) — Pallas everywhere on TPU."""
+    r4, scan-amortized DEVICE time — the r3 numbers this replaces came
+    from a loop whose constant-input body LICM hoisted, timing nothing):
+
+        ncc   M=32  pallas 0.480 ms | xla 0.538 ms   -> pallas
+        ncc   M=128 pallas 0.846 ms | xla 0.636 ms   -> xla
+        ncc   M=512 pallas 2.293 ms | xla 1.351 ms   -> xla
+        warp  M=32/128/512: pallas 0.42/0.54/1.08 ms vs
+                            xla    0.79/1.96/6.76 ms -> pallas at every M
+
+    So: warp -> Pallas on TPU at every M; NCC -> Pallas only below
+    M=128, XLA grouped conv from 128 up."""
     if cfg.vision_backend == "pallas":
         return True
     if cfg.vision_backend == "xla":
         return False
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    if kernel == "ncc":
+        return cfg.max_landmarks < 128
+    return True
 
 
 def warp_matrices(state: FilterState, cfg: SlamConfig) -> jnp.ndarray:

@@ -34,9 +34,12 @@ HBM_BW = 819e9              # bytes/s
 
 
 def time_fn(fn, *args, n=100, warmup=3, repeats=3):
-    """Best-of-repeats mean over n queued dispatches: both kernels now
-    measure in the tens of microseconds, where single runs carry +-50%
-    tunnel noise — the min over repeats estimates true device time."""
+    """Best-of-repeats mean over n queued host dispatches. On the tunneled
+    backend this is DISPATCH-bound for microsecond kernels (~1-2 ms/call
+    floor), so it measures the per-call launch path, NOT device time —
+    use device_time_scan for the kernel itself. (This discrepancy is the
+    r3 verdict's 80x contradiction: 2.4 ms queued-dispatch vs 0.03 ms
+    device time for the same kernel.)"""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     best = float("inf")
@@ -46,6 +49,31 @@ def time_fn(fn, *args, n=100, warmup=3, repeats=3):
             out = fn(*args)
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
+def device_time_scan(make_body, k=64, repeats=5):
+    """Device time per kernel application, robust to tunnel latency:
+    K applications run inside ONE jitted lax.scan, so the dispatch cost
+    (milliseconds through the tunnel) is paid once and amortized 1/K.
+
+    ``make_body(carry, i)`` must apply the kernel with inputs PERTURBED by
+    the loop carry and iteration index — a loop whose body has constant
+    inputs gets hoisted out by LICM and the scan times nothing (measured
+    r3, PERF.md) — and return a scalar depending on the output (serial
+    chain, no overlap/DCE)."""
+
+    @jax.jit
+    def loop():
+        return jax.lax.scan(make_body, jnp.float32(0.0),
+                            jnp.arange(k))[0]
+
+    jax.block_until_ready(loop())          # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop())
+        best = min(best, (time.perf_counter() - t0) / k)
     return best
 
 
@@ -70,14 +98,27 @@ def bench_ncc(m, hp_match=8, hp_init=10):
     def timed(backend):
         cfg = SlamConfig(vision_backend=backend, hp_match=hp_match,
                          hp_init=hp_init)
-        fn = jax.jit(lambda im, c, p: ncc_scores(im, c, p, cfg)[0])
-        return time_fn(fn, image, centers, patches)
 
-    t_pal = timed("pallas")
-    t_xla = timed("xla")
+        def body(carry, i):
+            # perturb by carry (serial chain, defeats LICM/DCE); rotate
+            # centers so the gather pattern is iteration-dependent
+            im = image + carry
+            c = jnp.roll(centers, i, axis=0)
+            out = ncc_scores(im, c, patches, cfg)[0]
+            return out.ravel()[0] * jnp.float32(1e-30), None
+
+        dev = device_time_scan(body)
+        fn = jax.jit(lambda im, c, p: ncc_scores(im, c, p, cfg)[0])
+        disp = time_fn(fn, image, centers, patches, n=30)
+        return dev, disp
+
+    t_pal, d_pal = timed("pallas")
+    t_xla, d_xla = timed("xla")
 
     return dict(kernel="ncc", M=m, flops=flops,
                 pallas_ms=t_pal * 1e3, xla_ms=t_xla * 1e3,
+                pallas_dispatch_ms=d_pal * 1e3,
+                xla_dispatch_ms=d_xla * 1e3,
                 pallas_gflops=flops / t_pal / 1e9,
                 xla_gflops=flops / t_xla / 1e9,
                 pallas_peak_frac=flops / t_pal / F32_PEAK)
@@ -96,8 +137,18 @@ def bench_warp(m, hp_match=8, hp_init=10):
 
     kk = po * po
     flops = m * (2 * kk * pi * pi + 3 * kk * pi + 8 * kk)
-    t_pal = time_fn(warp_bilinear, patches, su, sv)
-    t_xla = time_fn(jax.jit(_bilinear_batch), patches, su, sv)
+
+    def timed(fn):
+        def body(carry, i):
+            p = patches + carry
+            s = jnp.roll(su, i, axis=0)
+            out = fn(p, s, sv)
+            return out.ravel()[0] * jnp.float32(1e-30), None
+
+        return device_time_scan(body)
+
+    t_pal = timed(warp_bilinear)
+    t_xla = timed(_bilinear_batch)
     return dict(kernel="warp", M=m, flops=flops,
                 pallas_ms=t_pal * 1e3, xla_ms=t_xla * 1e3,
                 pallas_gflops=flops / t_pal / 1e9,
