@@ -169,6 +169,26 @@ def bench_kernels_quick():
     return out
 
 
+def bench_scaling():
+    """Config 5: distributed-BA scaling on the virtual CPU mesh (the
+    achievable substitute for multi-chip hardware in this environment) —
+    serialized-virtual-device walls + modeled efficiency + the O(W^2)
+    communication volume. See scripts/bench_scaling.py for semantics."""
+    import subprocess
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8 "
+                         "--xla_cpu_multi_thread_eigen=false")
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "scripts",
+                      "bench_scaling.py")],
+        capture_output=True, text=True, timeout=900, env=env)
+    if out.returncode != 0:
+        return {"error": (out.stderr or out.stdout)[-300:]}
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main():
     details = {}
     primary = bench_primary()
@@ -180,6 +200,7 @@ def main():
                                  ("config4_backend", bench_backend, 420),
                                  ("config2_kernels", bench_kernels_quick,
                                   300),
+                                 ("config5_scaling", bench_scaling, 300),
                                  ("config1_parity", bench_parity, 240)):
         if remaining() < min_budget:
             details[name] = {"skipped": f"budget ({remaining():.0f}s left)"}

@@ -22,21 +22,28 @@ import numpy as np
 
 
 def dense_sequence(n_frames: int, seed: int = 0, density: float = 60.0,
-                   step: float = 0.03):
+                   step: float = 0.03, world_kind: str = "blobs"):
     """Dense-blob ceiling sequence cached on disk (many concurrent
     landmarks need a feature-rich world). A SLOW trajectory (small
     ``step``) keeps landmarks in view: at 0.03 m/frame the view turnover
     culls the map at ~220 concurrent landmarks regardless of capacity,
-    while a capacity benchmark wants the map FULL."""
+    while a capacity benchmark wants the map FULL.
+
+    ``world_kind="grid"``: near-regular 0.10 m blob grid (jitter 0.02 m).
+    Random blobs at density 100/m^2 OVERLAP (sigma up to 0.07 m at 0.1 m
+    mean spacing) into low-contrast mush the corner detector can't
+    saturate a 512-map from (peak ~200, r3); the grid packs ~460 crisp
+    separable corners into the 2.5 x 1.9 m view footprint, 26 px apart —
+    outside the +-10 px search window, so no NCC aliasing."""
     from cv_monoslam_tpu.config import SlamConfig
     from cv_monoslam_tpu.io.dataset import ImageSequence, preprocess_odometry
     from cv_monoslam_tpu.io.synthetic import (make_sequence, make_trajectory,
-                                              make_world)
+                                              make_world, make_world_periodic)
 
     cache = os.path.join(os.path.dirname(__file__), "..", ".cache", "seq")
     os.makedirs(cache, exist_ok=True)
     key = hashlib.md5(
-        f"dense-{n_frames}-{seed}-{density}-{step}-v1".encode()
+        f"dense-{n_frames}-{seed}-{density}-{step}-{world_kind}-v1".encode()
     ).hexdigest()[:16]
     path = os.path.join(cache, key + ".npz")
     cfg = SlamConfig()
@@ -45,7 +52,11 @@ def dense_sequence(n_frames: int, seed: int = 0, density: float = 60.0,
         track = preprocess_odometry(d["raw"], min_step_xy=cfg.min_step_xy,
                                     min_step_theta=cfg.min_step_theta)
         return ImageSequence(frames=d["frames"]), track, d["gt_xy"]
-    world = make_world(seed=seed, blob_density=density, cfg=cfg)
+    if world_kind == "grid":
+        world = make_world_periodic(seed=seed, spacing=0.10, jitter=0.02,
+                                    cfg=cfg)
+    else:
+        world = make_world(seed=seed, blob_density=density, cfg=cfg)
     xy, th = make_trajectory("arc", n=n_frames, step=step)
     seq, _, gt_xy, _ = make_sequence(world, xy, th, cfg=cfg)
     raw = np.concatenate([np.arange(n_frames, dtype=np.float64)[:, None],
@@ -68,8 +79,10 @@ def run_large(landmarks: int = 512, frames: int = 48, chunk: int = 8,
     from cv_monoslam_tpu.api import SlamSession
     from cv_monoslam_tpu.config import SlamConfig
 
-    seq, track, gt_xy = dense_sequence(frames + chunk + 4, density=density,
-                                       step=overrides.pop("traj_step", 0.012))
+    seq, track, gt_xy = dense_sequence(
+        frames + chunk + 4, density=density,
+        step=overrides.pop("traj_step", 0.012),
+        world_kind=overrides.pop("world_kind", "blobs"))
     # min_num drives occupancy (the map refills until that many matches);
     # the raw caps and spacing let a single frame carry 100+ landmarks
     # gate_detection=False: at this state size the detection lax.cond

@@ -1,0 +1,211 @@
+"""BASELINE config 5: distributed-BA scaling curve on the virtual mesh.
+
+Real multi-chip hardware is unavailable in this environment (one tunneled
+TPU), so the achievable substitute is wall-clock scaling of
+``ba_solve_sharded`` over 1/2/4/8 VIRTUAL CPU devices plus the
+communication-volume model. To make mesh parallelism the only
+parallelism, intra-op threading is disabled (single-threaded Eigen);
+the host has a hard ceiling of physical cores (``nproc``), so the curve
+saturates there — per-device work (which is what maps to real chips)
+is reported alongside.
+
+Communication model (see parallel/dist_ba.py): the Schur reduction
+all-reduces ONE pose-shaped payload per GN iteration —
+U (W,3,3) + Hred (W,W,3,3) + bp (W,3) + cost ≈ (9W + 9W² + 3W + 1)·4 B,
+independent of L. At W=8 that is ~2.6 KB/iteration vs O(L/N) landmark
+compute, so on real ICI (100+ GB/s) communication is sub-microsecond and
+scaling efficiency is bounded by compute balance, not bandwidth.
+
+Must run in its own process (device count is fixed at jax import):
+  XLA_FLAGS="--xla_force_host_platform_device_count=8 \
+             --xla_cpu_multi_thread_eigen=false" \
+  JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python scripts/bench_scaling.py
+Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_enable_x64", True)   # f32 Schur sums over 32k
+#                                             landmarks are reduction-
+#                                             order-dependent AND diverge
+import jax.numpy as jnp
+import numpy as np
+
+W = 8           # keyframe window
+L = 32768       # landmarks: large enough to be compute-bound per shard
+ITERS = 4
+
+
+def make_problem(rng):
+    """Vectorized synthetic window-BA problem (W poses, L landmarks)."""
+    from cv_monoslam_tpu.backend.ba import BAProblem, project_planar
+    from cv_monoslam_tpu.config import SlamConfig
+
+    cfg = SlamConfig(dtype="float64")
+    poses_gt = np.stack([0.05 * np.arange(W), 0.01 * np.arange(W),
+                         0.02 * np.arange(W)], axis=1).astype(np.float64)
+    lms = np.stack([rng.uniform(-0.8, 1.2, L), rng.uniform(-0.6, 0.8, L),
+                    np.full(L, 3.0)], axis=1).astype(np.float64)
+    proj = jax.vmap(jax.vmap(lambda p, l: project_planar(p, l, cfg),
+                             in_axes=(None, 0)), in_axes=(0, None))
+    obs = np.asarray(proj(jnp.asarray(poses_gt), jnp.asarray(lms)))
+    mask = ((obs[..., 0] > 20) & (obs[..., 0] < 620)
+            & (obs[..., 1] > 20) & (obs[..., 1] < 460))
+    obs = obs + rng.normal(0, 0.3, obs.shape).astype(np.float64)
+    odo_rel = np.zeros((W - 1, 3), np.float64)
+    for w in range(W - 1):
+        c, s = np.cos(poses_gt[w, 2]), np.sin(poses_gt[w, 2])
+        d = poses_gt[w + 1, :2] - poses_gt[w, :2]
+        odo_rel[w] = [c * d[0] + s * d[1], -s * d[0] + c * d[1],
+                      poses_gt[w + 1, 2] - poses_gt[w, 2]]
+    poses0 = poses_gt + rng.normal(0, 0.01, poses_gt.shape).astype(
+        np.float64)
+    poses0[0] = poses_gt[0]
+    prob = BAProblem(
+        poses=jnp.asarray(poses0),
+        landmarks=jnp.asarray(lms + rng.normal(0, 0.01, lms.shape)
+                              .astype(np.float64)),
+        obs=jnp.asarray(obs), obs_mask=jnp.asarray(mask),
+        odo_rel=jnp.asarray(odo_rel),
+        kf_mask=jnp.ones(W, bool),
+        lm_mask=jnp.asarray(mask.sum(0) >= 2),
+        prior_poses=jnp.asarray(poses0),
+        prior_iw=jnp.full((W, 3), 1e-6, jnp.float64))
+    return prob, cfg
+
+
+def time_solve(prob, cfg, n_dev, repeats=3):
+    from cv_monoslam_tpu.parallel.dist_ba import ba_solve_sharded
+    from cv_monoslam_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_dev)
+    # warm (compile)
+    out = ba_solve_sharded(prob, cfg, mesh, iters=ITERS)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = ba_solve_sharded(prob, cfg, mesh, iters=ITERS)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def filter_scaling(n_iters=2, m=510):
+    """Replicated vs row-sharded full filter step (no-detect executable)
+    on the serialized virtual mesh. M=510 -> D=3064 divisible by 8.
+
+    Same serialized-execution semantics as the BA curve: T_N_serial ~=
+    N * T_N_par, and the overhead it exposes is REAL replicated work —
+    the shard_sqrt layout psums local Grams but replicates the D x D
+    Cholesky on every device, so the modeled efficiency is the honest
+    gram-vs-chol compute ratio, not a free 100%."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cv_monoslam_tpu.config import SlamConfig
+    from cv_monoslam_tpu.filter.srukf import slam_step
+    from cv_monoslam_tpu.filter.state import init_state
+    from cv_monoslam_tpu.parallel.mesh import make_mesh, state_shardings
+
+    cfg = SlamConfig(max_landmarks=m, update_mode="gram", qr_mode="gram",
+                     sigma_mode="implicit", dtype="float32")
+    rng = np.random.default_rng(1)
+    state = init_state(cfg)
+    n_act = 128
+    state.lm.active[:n_act] = True
+    state.lm.lid[:n_act] = np.arange(1, n_act + 1)
+    x = state.x
+    for i in range(n_act):
+        x[6 * i: 6 * i + 6] = [0.0, 0.0, 0.0, rng.normal(0, 0.3),
+                               rng.normal(0, 0.2), 1.0 / cfg.deep]
+    img = rng.uniform(0, 255, (cfg.camera.height,
+                               cfg.camera.width)).astype(np.float32)
+    op = np.zeros(3, np.float32)
+    oc = np.array([0.01, 0.002, 0.003], np.float32)
+
+    def scan_step(cfg):
+        def run(st, im, a, b):
+            def body(s, _):
+                s, _o = slam_step(s, im, a, b, False, cfg,
+                                  allow_detect=False)
+                return s, None
+            return jax.lax.scan(body, st, None, length=n_iters)[0]
+        return run
+
+    out = {}
+    for name, n_dev in (("replicated_1dev", 1), ("row_sharded_8dev", 8)):
+        mesh = make_mesh(n_dev)
+        sh = state_shardings(mesh, cfg, shard_sqrt=(n_dev > 1))
+        rep = NamedSharding(mesh, P())
+        st_dev = jax.device_put(state, sh)
+        args = [jax.device_put(np.asarray(v), rep) for v in (img, op, oc)]
+        fn = jax.jit(scan_step(cfg), in_shardings=(sh, rep, rep, rep),
+                     out_shardings=sh)
+        jax.block_until_ready(fn(st_dev, *args))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(st_dev, *args))
+            best = min(best, (time.perf_counter() - t0) / n_iters)
+        out[name] = round(best, 4)
+    t1, t8 = out["replicated_1dev"], out["row_sharded_8dev"]
+    out["modeled_efficiency_pct"] = round(100 * t1 / t8, 1)
+    return out
+
+
+def main():
+    rng = np.random.default_rng(0)
+    prob, cfg = make_problem(rng)
+    cores = os.cpu_count()
+    rows = {}
+    ref_cost = None
+    t1 = None
+    for n in (1, 2, 4, 8):
+        t, out = time_solve(prob, cfg, n)
+        costs = np.asarray(out[2])
+        if ref_cost is None:
+            ref_cost = costs
+            t1 = t
+        else:
+            # shard-invariance alongside the timing (same solve, any mesh)
+            assert np.allclose(costs, ref_cost, rtol=1e-8), (n, costs,
+                                                             ref_cost)
+        # The virtual CPU devices execute SERIALLY (measured: wall time is
+        # flat in N), so T_N_serial = sum of per-device shards + the total
+        # decomposition overhead (collectives + replicated pose solve).
+        # Flat total work proves the sharding adds no redundant compute;
+        # on parallel hardware each device runs its shard + its own
+        # overhead concurrently, so T_N_par ~= T_N_serial / N and modeled
+        # efficiency = T_1 / T_N_serial (assumes the 2.7 KB/iter
+        # all-reduce is latency-trivial on ICI, which it is).
+        rows[n] = dict(
+            wall_serial_s=round(t, 4),
+            overhead_vs_1dev_pct=round(100 * (t / t1 - 1), 2),
+            modeled_efficiency_pct=round(100 * t1 / t, 1),
+            per_device_landmarks=L // n)
+    comm_bytes = (9 * W + 9 * W * W + 3 * W + 1) * 4
+    try:
+        filt = filter_scaling()
+    except Exception as e:  # noqa: BLE001
+        filt = {"error": repr(e)[:200]}
+    print(json.dumps(dict(
+        L=L, W=W, iters=ITERS, physical_cores=cores,
+        note=("virtual CPU devices execute serially; "
+              "modeled_efficiency_pct = T_1/T_N_serial — see comment"),
+        comm_bytes_per_iter=comm_bytes,
+        curve=rows,
+        filter_step=filt)))
+
+
+if __name__ == "__main__":
+    main()
