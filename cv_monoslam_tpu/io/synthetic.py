@@ -90,7 +90,55 @@ class SyntheticWorld:
         t = self.deep  # Z component of the ray is 1 -> scale = deep / 1
         wx = cam_xy[0] + t * wx_dir
         wy = cam_xy[1] + t * wy_dir
-        return self.texture(wx, wy).astype(np.float32)
+        return self._stamp(wx, wy, cam_xy, c, s).astype(np.float32)
+
+    def _stamp(self, wx: np.ndarray, wy: np.ndarray, cam_xy: np.ndarray,
+               c: float, s: float) -> np.ndarray:
+        """Blob-stamped rendering: evaluate each blob's EXACT world-space
+        Gaussian only over its 5-sigma pixel box (located by projecting
+        the blob center through the inverse of the pixel->world map).
+
+        Identical to the dense ``texture`` evaluation up to the 5-sigma
+        support cutoff (< 1e-4 gray levels) but O(blobs x box) instead of
+        O(pixels x blobs): a dense grid world rendered at ~25 s/frame the
+        dense way and renders at ~0.05 s/frame here — the difference
+        between a 3000-frame longrun being possible and not."""
+        cam = self.cam
+        t = self.deep
+        out = np.full(wx.shape, self.base, dtype=np.float64)
+        H, W = out.shape
+        bx, by, sig, amp = (self.blobs[:, i] for i in range(4))
+        # world -> undistorted (mirrors render()'s mixed axis pairing)
+        X = (c * (bx - cam_xy[0]) + s * (by - cam_xy[1])) / t
+        Y = (-s * (bx - cam_xy[0]) + c * (by - cam_xy[1])) / t
+        vu = cam.cx + cam.f1 * X
+        uu = cam.cy + cam.f2 * Y
+        # invert the radial distortion factor d(rd2) by fixed point
+        # (k1*r^2 ~ 1e-4 here: converges in one step, run three)
+        ru2 = ((uu - cam.cx) * cam.dx) ** 2 + ((vu - cam.cy) * cam.dy) ** 2
+        rd2 = ru2.copy()
+        for _ in range(3):
+            dd = 1.0 + cam.k1 * rd2 + cam.k2 * rd2 * rd2
+            rd2 = ru2 / (dd * dd)
+        dd = 1.0 + cam.k1 * rd2 + cam.k2 * rd2 * rd2
+        u0 = cam.cx + (uu - cam.cx) / dd
+        v0 = cam.cy + (vu - cam.cy) / dd
+        # 5-sigma support in pixels (f1 ~ f2; +3 px slack for distortion)
+        half = np.ceil(5.0 * sig * cam.f1 / t).astype(int) + 3
+        inview = ((u0 > -half) & (u0 < W + half)
+                  & (v0 > -half) & (v0 < H + half))
+        for i in np.flatnonzero(inview):
+            lo_u = max(int(u0[i]) - half[i], 0)
+            hi_u = min(int(u0[i]) + half[i] + 1, W)
+            lo_v = max(int(v0[i]) - half[i], 0)
+            hi_v = min(int(v0[i]) + half[i] + 1, H)
+            if lo_u >= hi_u or lo_v >= hi_v:
+                continue
+            d2 = ((wx[lo_v:hi_v, lo_u:hi_u] - bx[i]) ** 2
+                  + (wy[lo_v:hi_v, lo_u:hi_u] - by[i]) ** 2)
+            out[lo_v:hi_v, lo_u:hi_u] += amp[i] * np.exp(
+                -d2 / (2.0 * sig[i] ** 2))
+        return np.clip(out, 0.0, 255.0)
 
 
 def make_world(seed: int = 0, extent: float = 12.0, blob_density: float = 18.0,

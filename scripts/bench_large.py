@@ -22,18 +22,19 @@ import numpy as np
 
 
 def dense_sequence(n_frames: int, seed: int = 0, density: float = 60.0,
-                   step: float = 0.03, world_kind: str = "blobs"):
+                   step: float = 0.03, world_kind: str = "blobs",
+                   min_step_xy: float | None = None):
     """Dense-blob ceiling sequence cached on disk (many concurrent
     landmarks need a feature-rich world). A SLOW trajectory (small
     ``step``) keeps landmarks in view: at 0.03 m/frame the view turnover
     culls the map at ~220 concurrent landmarks regardless of capacity,
     while a capacity benchmark wants the map FULL.
 
-    ``world_kind="grid"``: near-regular 0.10 m blob grid (jitter 0.02 m).
+    ``world_kind="grid"``: near-regular 0.085 m blob grid (jitter 0.017).
     Random blobs at density 100/m^2 OVERLAP (sigma up to 0.07 m at 0.1 m
     mean spacing) into low-contrast mush the corner detector can't
-    saturate a 512-map from (peak ~200, r3); the grid packs ~460 crisp
-    separable corners into the 2.5 x 1.9 m view footprint, 26 px apart —
+    saturate a 512-map from (peak ~200, r3); the grid packs ~500 crisp
+    separable corners into the 2.5 x 1.9 m view footprint, 22 px apart —
     outside the +-10 px search window, so no NCC aliasing."""
     from cv_monoslam_tpu.config import SlamConfig
     from cv_monoslam_tpu.io.dataset import ImageSequence, preprocess_odometry
@@ -43,17 +44,22 @@ def dense_sequence(n_frames: int, seed: int = 0, density: float = 60.0,
     cache = os.path.join(os.path.dirname(__file__), "..", ".cache", "seq")
     os.makedirs(cache, exist_ok=True)
     key = hashlib.md5(
-        f"dense-{n_frames}-{seed}-{density}-{step}-{world_kind}-v1".encode()
+        f"dense-{n_frames}-{seed}-{density}-{step}-{world_kind}-v4".encode()
     ).hexdigest()[:16]
     path = os.path.join(cache, key + ".npz")
     cfg = SlamConfig()
+    ms_xy = cfg.min_step_xy if min_step_xy is None else min_step_xy
     if os.path.exists(path):
         d = np.load(path)
-        track = preprocess_odometry(d["raw"], min_step_xy=cfg.min_step_xy,
+        track = preprocess_odometry(d["raw"], min_step_xy=ms_xy,
                                     min_step_theta=cfg.min_step_theta)
         return ImageSequence(frames=d["frames"]), track, d["gt_xy"]
     if world_kind == "grid":
-        world = make_world_periodic(seed=seed, spacing=0.10, jitter=0.02,
+        # 0.085 m pitch -> ~22 px: ~500 corners inside the 20 px-margin
+        # usable view (the 400+ occupancy target needs more in-view
+        # corners than a 0.10 m pitch's ~370), still outside the +-10 px
+        # search window so no NCC aliasing
+        world = make_world_periodic(seed=seed, spacing=0.085, jitter=0.017,
                                     cfg=cfg)
     else:
         world = make_world(seed=seed, blob_density=density, cfg=cfg)
@@ -62,7 +68,7 @@ def dense_sequence(n_frames: int, seed: int = 0, density: float = 60.0,
     raw = np.concatenate([np.arange(n_frames, dtype=np.float64)[:, None],
                           xy, th[:, None]], axis=1)
     np.savez_compressed(path, frames=seq._frames, raw=raw, gt_xy=gt_xy)
-    track = preprocess_odometry(raw, min_step_xy=cfg.min_step_xy,
+    track = preprocess_odometry(raw, min_step_xy=ms_xy,
                                 min_step_theta=cfg.min_step_theta)
     return ImageSequence(frames=seq._frames), track, gt_xy
 
@@ -79,10 +85,14 @@ def run_large(landmarks: int = 512, frames: int = 48, chunk: int = 8,
     from cv_monoslam_tpu.api import SlamSession
     from cv_monoslam_tpu.config import SlamConfig
 
+    ms_xy = overrides.pop("min_step_xy", None)
     seq, track, gt_xy = dense_sequence(
-        frames + chunk + 4, density=density,
+        frames + 2 * chunk + 4, density=density,
         step=overrides.pop("traj_step", 0.012),
-        world_kind=overrides.pop("world_kind", "blobs"))
+        world_kind=overrides.pop("world_kind", "blobs"),
+        min_step_xy=ms_xy)
+    if ms_xy is not None:
+        overrides["min_step_xy"] = ms_xy
     # min_num drives occupancy (the map refills until that many matches);
     # the raw caps and spacing let a single frame carry 100+ landmarks
     # gate_detection=False: at this state size the detection lax.cond
@@ -90,11 +100,15 @@ def run_large(landmarks: int = 512, frames: int = 48, chunk: int = 8,
     # r3; XLA TPU conditional pathology with a 40+ MB carried state), vs
     # ~6 ms for just running the masked add every frame — and the starved
     # map triggers detection almost every frame anyway
+    # raw caps = max_detections: the raw-rank cap is shared with corners
+    # at ALREADY-claimed positions (they dominate the top responses), so
+    # a 256 cap over ~380 in-view corners left only ~15 NEW candidates
+    # per detect frame and the map stalled at ~260 (measured r4)
     kw = dict(max_landmarks=landmarks, max_new_per_frame=64,
-              max_detections=384, update_mode="gram", qr_mode="gram",
+              max_detections=512, update_mode="gram", qr_mode="gram",
               sigma_mode="implicit", gate_detection=False,
               min_dist=10.0, min_num=min(300, landmarks // 2 + 44),
-              n_initial_raws=256, n_process_raws=256)
+              n_initial_raws=512, n_process_raws=512)
     kw.update(overrides)
     cfg = SlamConfig(**kw)
     sess = SlamSession(cfg, seq, track)
@@ -103,10 +117,17 @@ def run_large(landmarks: int = 512, frames: int = 48, chunk: int = 8,
     # detection pipeline
     sess.detect_host_gate = True
     sess.step_chunk(chunk)                       # compile detect variant
-    sess._chunk_fn(chunk, False)                 # pre-compile track-only
+    # force-COMPILE the track-only variant too (building the jit alone
+    # defers compilation to the first call — which would otherwise land
+    # inside the timed loop the moment the map reaches min_num)
+    sess._last_matched = cfg.min_num
+    sess.step_chunk(chunk)
+    sess._last_matched = sess.records[-1].n_matched
     t0 = time.perf_counter()
     done = 0
     while done + chunk <= frames:
+        if len(sess.track) - sess.counter < chunk:
+            break            # an odd tail would compile a fresh scan
         recs = sess.step_chunk(chunk)
         if not recs:
             break

@@ -35,7 +35,7 @@ def get_sequence(kind: str, n: int, seed: int, noise: float = 0.0,
         step = float(s)
     os.makedirs(CACHE, exist_ok=True)
     key = hashlib.md5(
-        f"{kind}-{n}-{seed}-{noise}-{step}-v3".encode()).hexdigest()[:16]
+        f"{kind}-{n}-{seed}-{noise}-{step}-v4".encode()).hexdigest()[:16]
     path = os.path.join(CACHE, key + ".npz")
     cfg = SlamConfig()
     if os.path.exists(path):

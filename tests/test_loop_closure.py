@@ -182,6 +182,12 @@ def test_loop_closure_end_to_end():
     sess.run(chunk=8)
 
     assert len(backend.loop_edges) >= 1, "loop detection never fired"
+    # the backend must not merely solve — at least one window solve must
+    # COMMIT (VERDICT r3 item 6), and the summary must explain the edges
+    summ = backend.summary(sess.refinements)
+    assert summ["ba_applied"] >= 1, summ
+    assert all(e["n_inliers"] >= backend.loop_min_shared
+               for e in summ["edges"])
     ate_f = sess.ate(gt_xy)
     ate_r = sess.ate(gt_xy, refined=True)
     assert ate_r < ate_f * 0.95, (
