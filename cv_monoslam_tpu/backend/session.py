@@ -184,30 +184,42 @@ def _constellation_align(a_xy: np.ndarray, b_xy: np.ndarray, tol: float,
                        kind="stable")[: max_hyp // 2]
     pa = keep[pa[order]]
     pb = pb[order]
-    best = None
-    for k in range(len(pa)):
-        a0, a1 = ia[pa[k]], ja[pa[k]]
-        # a pair constrains the correspondence up to a swap
-        for b0, b1 in ((ib[pb[k]], jb[pb[k]]), (jb[pb[k]], ib[pb[k]])):
-            va = a_xy[a1] - a_xy[a0]
-            vb = b_xy[b1] - b_xy[b0]
-            dth = float(np.arctan2(vb[1], vb[0]) - np.arctan2(va[1], va[0]))
-            c, s = np.cos(dth), np.sin(dth)
-            t = b_xy[b0] - np.array([c * a_xy[a0, 0] - s * a_xy[a0, 1],
-                                     s * a_xy[a0, 0] + c * a_xy[a0, 1]])
-            rows, cols = _one_to_one_inliers(
-                _rigid_apply(dth, t, a_xy), b_xy, tol)
-            if best is None or len(rows) > best[0]:
-                best = (len(rows), rows, cols)
-                if best[0] >= min(na, nb):
-                    break
-        else:
-            continue
-        break
-    if best is None or best[0] < min_inliers:
+    # score ALL hypotheses (both swap orientations) in one vectorized
+    # pass — the per-hypothesis python loop was the longrun's dominant
+    # host cost (~50 candidate pairs x 256 fits per keyframe, growing
+    # with keyframe count; measured r4: 23 -> 113 ms/frame over 1000
+    # frames). Score = number of DISTINCT b-targets hit within tol (the
+    # same anti-aliasing cap the exact one-to-one assignment enforces).
+    a0 = np.concatenate([ia[pa], ia[pa]])
+    a1 = np.concatenate([ja[pa], ja[pa]])
+    b0 = np.concatenate([ib[pb], jb[pb]])
+    b1 = np.concatenate([jb[pb], ib[pb]])
+    va = a_xy[a1] - a_xy[a0]                            # (K, 2)
+    vb = b_xy[b1] - b_xy[b0]
+    dth_k = (np.arctan2(vb[:, 1], vb[:, 0])
+             - np.arctan2(va[:, 1], va[:, 0]))
+    ck, sk = np.cos(dth_k), np.sin(dth_k)
+    t_k = b_xy[b0] - np.stack(
+        [ck * a_xy[a0, 0] - sk * a_xy[a0, 1],
+         sk * a_xy[a0, 0] + ck * a_xy[a0, 1]], axis=1)  # (K, 2)
+    pred = np.stack(
+        [ck[:, None] * a_xy[None, :, 0] - sk[:, None] * a_xy[None, :, 1],
+         sk[:, None] * a_xy[None, :, 0] + ck[:, None] * a_xy[None, :, 1]],
+        axis=2) + t_k[:, None, :]                       # (K, na, 2)
+    d2 = ((pred[:, :, None, :] - b_xy[None, None, :, :]) ** 2).sum(-1)
+    nnb = d2.argmin(axis=2)                             # (K, na)
+    hit = np.take_along_axis(d2, nnb[:, :, None],
+                             axis=2)[:, :, 0] < tol * tol
+    K = len(dth_k)
+    keyv = nnb + nb * np.arange(K)[:, None]
+    scores = np.bincount(np.unique(keyv[hit]) // nb, minlength=K)
+    kbest = int(scores.argmax())
+    if scores[kbest] < min_inliers:
+        return None
+    rows, cols = _one_to_one_inliers(pred[kbest], b_xy, tol)
+    if len(rows) < min_inliers:
         return None
     # refit on the winning inlier set, re-gate, refit once more
-    rows, cols = best[1], best[2]
     for _ in range(2):
         fit = _procrustes2d(a_xy[rows], b_xy[cols])
         if fit is None:
@@ -448,9 +460,8 @@ class BackendSession:
         (bounded away from the new keyframe ``j`` by ``loop_min_sep``),
         deduplicated by landmark id with the estimate closest in time to
         keyframe ``i`` winning."""
-        lids_out: list = []
-        pts_out: list = []
-        seen: set = set()
+        parts_l: list = []
+        parts_p: list = []
         for di in sorted(range(-self.loop_union_kfs,
                                self.loop_union_kfs + 1), key=abs):
             kidx = i + di
@@ -459,20 +470,19 @@ class BackendSession:
             if j - kidx <= self.loop_min_sep:
                 continue
             nb = self.keyframes[kidx]
-            for lid, xyz in zip(np.asarray(nb.map_lids),
-                                np.asarray(nb.map_xyz)):
-                key = int(lid)
-                if key in seen:
-                    continue
-                seen.add(key)
-                lids_out.append(key)
-                pts_out.append(xyz[:2])
-            if len(pts_out) >= self.loop_max_const:
-                break                 # cap: center keyframe's map first
-        if not pts_out:
+            parts_l.append(np.asarray(nb.map_lids, dtype=np.int64))
+            parts_p.append(np.asarray(nb.map_xyz)[:, :2])
+        if not parts_l:
             return np.zeros(0, np.int64), np.zeros((0, 2))
-        return (np.asarray(lids_out[: self.loop_max_const]),
-                np.asarray(pts_out[: self.loop_max_const]))
+        lids = np.concatenate(parts_l)
+        pts = np.concatenate(parts_p)
+        # dedup by id, FIRST occurrence winning (center keyframe's
+        # estimate — parts are appended center-first); vectorized: the
+        # per-landmark python loop here ran ~50x per new keyframe and
+        # grew with keyframe count (longrun slowdown, r4)
+        _, first = np.unique(lids, return_index=True)
+        sel = np.sort(first)[: self.loop_max_const]
+        return lids[sel], pts[sel]
 
     def _detect_loops(self, kf: Keyframe) -> None:
         """Loop detection against non-adjacent keyframes — the graph
@@ -505,6 +515,14 @@ class BackendSession:
                 continue
             if last_hit is not None and i - last_hit <= self.loop_union_kfs:
                 continue                      # same place already matched
+            # view-overlap prefilter: two places can share landmarks only
+            # if their (estimated) camera positions are within the view
+            # footprint plus the maximum admissible drift — skips the
+            # constellation build + RANSAC for hopeless pairs
+            if (float(np.hypot(*(np.asarray(old.pose[:2])
+                                 - np.asarray(kf.pose[:2]))))
+                    > 3.2 + self.loop_max_drift):
+                continue
             # place constellation around old keyframe i: the UNION of the
             # active maps of keyframes i±loop_union_kfs (dedup by id,
             # central keyframe's estimate wins). A single keyframe's map

@@ -113,7 +113,10 @@ def main():
             robot_path=os.path.join(workdir, "RobotPath.txt")),
         checkpoint_dir=workdir, checkpoint_every=200,
         watchdog=Watchdog(cfg, check_every=20),
-        backend=BackendSession(cfg),
+        # 128 nodes x keyframe_every=8 -> a 1024-frame graph window, so
+        # the refined trajectory covers the whole 1000-frame run (at
+        # CAPACITY=3000 the window slides — honest sliding-window SLAM)
+        backend=BackendSession(cfg, max_nodes=128),
     )
     t0 = time.time()
     sess.run(chunk=args.chunk)
@@ -151,6 +154,8 @@ def main():
                video="off" if args.no_video else "mjpeg-roundtrip",
                backend=jax.default_backend(), workdir=workdir)
     print(json.dumps(out))
+    print("backend summary:", json.dumps(
+        sess.backend.summary(sess.refinements), default=str))
 
     assert out["finite"], "non-finite pose"
     assert out["escalations"] == 0, "reset-grade covariance repairs"

@@ -175,8 +175,12 @@ def test_loop_closure_end_to_end():
 
     seq, track, gt_xy, _ = get_sequence("lap@0.12", 120, 0, noise=0.04)
     assert len(track) > 100
+    # ba_apply_gate=2: the commit path must be exercised end-to-end; at
+    # the default 3.0 this scenario's window corrections sit just below
+    # the gate (max_z ~2.5) and the applied-solve assertion is vacuous
     cfg = SlamConfig(max_landmarks=16, max_new_per_frame=4,
-                     max_detections=32, keyframe_every=5, ba_window=4)
+                     max_detections=32, keyframe_every=5, ba_window=4,
+                     ba_apply_gate=2.0)
     backend = BackendSession(cfg)
     sess = SlamSession(cfg, seq, track, backend=backend)
     sess.run(chunk=8)
