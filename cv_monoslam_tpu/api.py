@@ -114,6 +114,15 @@ class SlamSession:
         #: Off by default: single-step and in-graph gating keep exact
         #: per-frame reference semantics; large-state configs enable it.
         self.detect_host_gate = False
+        #: opt-in: keep PIPELINING while host-gated (the gate then reads
+        #: telemetry one chunk stale — a mid-chunk collapse could run
+        #: starved for up to 2*chunk frames, which is why gating disables
+        #: pipelining by default). Set to an int margin M to re-enable:
+        #: detection triggers at matched < min_num + M, absorbing the
+        #: staleness. Appropriate when min_num is far above true
+        #: starvation (capacity configs hovering at 400 of 512), NOT for
+        #: reference-default min_num=5 runs.
+        self.detect_gate_margin: Optional[int] = None
         self._last_matched = 0            # latest n_matched seen
 
         # host-side numpy (never index device arrays eagerly — on tunneled
@@ -325,7 +334,8 @@ class SlamSession:
         # while two specialized executables cost one extra compile
         detect = True
         if self.detect_host_gate:
-            detect = self._last_matched < self.cfg.min_num
+            detect = self._last_matched < (
+                self.cfg.min_num + (self.detect_gate_margin or 0))
         self.state, rows = self._chunk_fn(k, detect)(
             self.state, imgs, self._odo[ks - 1:ks - 1 + k],
             self._odo[ks:ks + k])
@@ -428,7 +438,8 @@ class SlamSession:
         # host-gated detection, finish each chunk before dispatching the
         # next.
         pipelined = (self.watchdog is None and self.backend is None
-                     and not self.detect_host_gate)
+                     and (not self.detect_host_gate
+                          or self.detect_gate_margin is not None))
         if chunk > 1:
             done = 0          # frames with records materialized
             dispatched = 0    # frames consumed by the device

@@ -123,15 +123,14 @@ def run_large(landmarks: int = 512, frames: int = 48, chunk: int = 8,
     sess._last_matched = cfg.min_num
     sess.step_chunk(chunk)
     sess._last_matched = sess.records[-1].n_matched
+    # pipelined host-gated run: the stale-gate margin is safe here — this
+    # config hovers at min_num ~400 of 512, nowhere near true starvation,
+    # so a one-chunk-late detection chunk only dips occupancy briefly
+    sess.detect_gate_margin = 0
     t0 = time.perf_counter()
-    done = 0
-    while done + chunk <= frames:
-        if len(sess.track) - sess.counter < chunk:
-            break            # an odd tail would compile a fresh scan
-        recs = sess.step_chunk(chunk)
-        if not recs:
-            break
-        done += len(recs)
+    n0 = len(sess.records)
+    sess.run(n_frames=frames, chunk=chunk, drop_tail=True)
+    done = len(sess.records) - n0
     dt = (time.perf_counter() - t0) / max(done, 1)
     ate = sess.ate(gt_xy)
     peak = max(r.n_map for r in sess.records)
