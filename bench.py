@@ -145,10 +145,10 @@ def bench_backend():
     out = dict(ate_filter=ate_f, ate_refined=ate_r,
                improved=bool(ate_r < ate_f),
                keyframes=len(sess.backend.keyframes),
-               loop_edges=len(sess.backend.loop_edges),
-               ba_solves=len(sess.refinements))
+               loop_edges=len(sess.backend.loop_edges))
     # per-edge + BA telemetry so a regressed number explains itself from
-    # the artifact alone (VERDICT r3 weak #4 / next-round items 1, 6)
+    # the artifact alone (VERDICT r3 weak #4 / next-round items 1, 6);
+    # ba_solves/graph_solves come single-sourced from summary()
     out.update(sess.backend.summary(sess.refinements))
     return out
 
@@ -163,14 +163,17 @@ def bench_kernels_quick():
         out[f"ncc_m{m}"] = dict(
             pallas_ms=round(r["pallas_ms"], 3),
             xla_ms=round(r["xla_ms"], 3),
-            dispatch_ms=round(r["pallas_dispatch_ms"], 3),
+            pallas_dispatch_ms=round(r["pallas_dispatch_ms"], 3),
+            xla_dispatch_ms=round(r["xla_dispatch_ms"], 3),
             pallas_gflops=round(r["pallas_gflops"], 1),
             xla_gflops=round(r["xla_gflops"], 1),
             best_peak_pct=round(
                 100 * max(r["pallas_gflops"], r["xla_gflops"]) * 1e9
                 / 49.2e12, 3),
-            dispatch_winner=("pallas" if r["pallas_ms"] <= r["xla_ms"]
-                             else "xla"))
+            # winner by scan-amortized DEVICE time (what pallas_ms/xla_ms
+            # are; the *_dispatch_ms fields are the per-call launch path)
+            device_winner=("pallas" if r["pallas_ms"] <= r["xla_ms"]
+                           else "xla"))
     r = bench_warp(512)
     out["warp_m512"] = dict(pallas_ms=round(r["pallas_ms"], 3),
                             xla_ms=round(r["xla_ms"], 3))

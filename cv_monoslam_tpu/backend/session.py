@@ -366,12 +366,16 @@ class BackendSession:
         #: keyframes a pending (unconfirmed) sighting stays alive
         self.loop_pending_ttl = loop_pending_ttl
         self._pending: List[dict] = []
-        #: old-keyframe indices whose place has a COMMITTED loop edge —
-        #: later sightings of a validated place skip the confirmation
-        #: delay (the place is already corroborated; pending state is
-        #: cleared by the rebase, so a revisit spanning several keyframes
-        #: would otherwise lose its post-relaxation edges)
-        self._validated: set = set()
+        #: {old keyframe index -> newest committing j}: places with a
+        #: COMMITTED loop edge. A later sighting of a validated place
+        #: skips the confirmation delay ONLY while the revisit is still
+        #: in progress (within loop_pending_ttl keyframes of the last
+        #: commit) — pending state is cleared by the rebase, so a revisit
+        #: spanning several keyframes would otherwise lose its
+        #: post-relaxation edges. The window is time-limited because an
+        #: open-ended fast path would re-admit exactly the single-sighting
+        #: chance alignments the confirmation exists to reject.
+        self._validated: dict = {}
         self.keyframes: List[Keyframe] = []
         self.loop_edges: List[tuple] = []     # (i, j, rel, (sig_xy, sig_th))
         #: per-candidate loop diagnosis: every (i, j) where a rigid fit was
@@ -408,12 +412,16 @@ class BackendSession:
             self.loop_edges = [(i - 1, j - 1, r, w)
                                for i, j, r, w in self.loop_edges
                                if i > 0 and j > 0]
+            # filter on PRE-decrement indices (0 is evicted, 1 survives
+            # as 0) — matching the loop_edges reindexing above
+            self._pending = [p for p in self._pending
+                             if p["i"] > 0 and p["j"] > 0]
             for p in self._pending:           # keep indices aligned
                 p["i"] -= 1
                 p["j"] -= 1
-            self._pending = [p for p in self._pending
-                             if p["i"] > 0 and p["j"] > 0]
-            self._validated = {v - 1 for v in self._validated if v > 0}
+            self._validated = {i - 1: j - 1
+                               for i, j in self._validated.items()
+                               if i > 0 and j > 0}
         return kf
 
     def _confirm(self, cand: dict) -> Optional[List[dict]]:
@@ -426,11 +434,12 @@ class BackendSession:
         rotation angle. Sightings at the SAME keyframe don't count — the
         overlapping neighborhood constellations of adjacent old keyframes
         share landmarks, so same-j agreement is not independent evidence."""
-        if self.loop_confirm <= 1 or any(
-                abs(cand["i"] - v) <= 2 * self.loop_union_kfs
-                for v in self._validated):
-            return []
         j = cand["j"]
+        if self.loop_confirm <= 1 or any(
+                abs(cand["i"] - vi) <= 2 * self.loop_union_kfs
+                and j - vj <= self.loop_pending_ttl
+                for vi, vj in self._validated.items()):
+            return []
         self._pending = [p for p in self._pending
                          if j - p["j"] <= self.loop_pending_ttl]
         cen = cand["cen"]
@@ -507,6 +516,15 @@ class BackendSession:
         """
         j = len(self.keyframes)
         b_pts = np.asarray(kf.map_xyz)[:, :2]
+        b_lids = np.asarray(kf.map_lids)
+        if len(b_pts) > self.loop_max_const:
+            # cap the new-keyframe side too (even stride keeps spatial
+            # coverage): at M=512 an uncapped 400+-point b side makes the
+            # vectorized hypothesis arrays ~100 MB per candidate pair
+            sub = np.linspace(0, len(b_pts) - 1,
+                              self.loop_max_const).astype(int)
+            b_pts = b_pts[sub]
+            b_lids = b_lids[sub]
         last_hit = None                       # suppress near-duplicate edges
         for i, old in enumerate(self.keyframes[:-1]):
             # real revisits only: keyframes well outside the live window
@@ -533,7 +551,7 @@ class BackendSession:
             a_lids, a_pts = self._place_constellation(i, j)
             drift, path, n_inl, a_used = None, None, 0, None
             # (1) exact re-identification by landmark id
-            shared, ia, ib = np.intersect1d(a_lids, kf.map_lids,
+            shared, ia, ib = np.intersect1d(a_lids, b_lids,
                                             return_indices=True)
             if len(shared) >= self.loop_min_shared:
                 drift = _robust_procrustes2d(
@@ -638,7 +656,8 @@ class BackendSession:
                     cc["rec"]["confirmed_by"] = (i, j)
                 self.loop_edges.append(
                     (cc["i"], cc["j"], cc["rel"], cc["sig"]))
-                self._validated.add(cc["i"])
+                self._validated[cc["i"]] = max(
+                    self._validated.get(cc["i"], 0), j)
             self.edge_log.append(rec)
             last_hit = i
 

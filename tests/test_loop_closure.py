@@ -162,6 +162,49 @@ class TestTemporalConfirmation:
         bs._add(self._revisit(12, 300, lms, 0.07, np.array([0.14, -0.06])))
         assert len(bs.loop_edges) == 3
 
+    def test_validated_fast_path_expires(self):
+        """The skip-confirmation window for a validated place is
+        time-limited — an open-ended fast path would re-admit the
+        single-sighting chance alignments confirmation exists to kill."""
+        bs, lms = self._backend_with_history()
+        bs._add(self._revisit(10, 100, lms, 0.05, np.array([0.12, -0.08])))
+        bs._add(self._revisit(11, 200, lms, 0.06, np.array([0.13, -0.07])))
+        n = len(bs.loop_edges)
+        # leave the place: several keyframes with no sighting of it
+        for w in range(4):
+            pose = np.array([5.0 + 0.05 * w, 5.0, 0.0])
+            bs.keyframes.append(Keyframe(
+                frame=20 + w, pose=pose, odo=pose,
+                lids=np.arange(500 + 8 * w, 508 + 8 * w),
+                pixels=np.zeros((8, 2)),
+                xyz=np.tile(pose, (8, 1)) + np.random.default_rng(w)
+                .normal(0, 0.3, (8, 3)), pose_sigma=np.full(3, 0.05)))
+        # a lone sighting beyond the TTL must go PENDING, not commit
+        bs._add(self._revisit(30, 300, lms, 0.07, np.array([0.14, -0.06])))
+        assert len(bs.loop_edges) == n
+        assert any(e.get("reason") == "unconfirmed" for e in bs.edge_log)
+
+    def test_eviction_keeps_pending_of_surviving_keyframe(self):
+        """max_nodes eviction reindexes pending sightings like loop
+        edges: pre-eviction index 1 must survive as 0 (a post-decrement
+        filter wrongly discarded it — r4 review finding)."""
+        bs, lms = self._backend_with_history(n_old=4)
+        bs._add(self._revisit(10, 100, lms, 0.05, np.array([0.12, -0.08])))
+        assert len(bs._pending) == 1
+        # place the pending sighting at pre-eviction index 1 and evict:
+        # index 1 survives as 0 (index 0 would be the evicted one)
+        bs._pending[0]["i"] = 1
+        bs.max_nodes = len(bs.keyframes)
+        far = np.array([7.0, 7.0, 0.0])
+        bs._add(Keyframe(
+            frame=20, pose=far, odo=far, lids=np.arange(900, 908),
+            pixels=np.zeros((8, 2)),
+            xyz=np.tile(far, (8, 1))
+            + np.random.default_rng(9).normal(0, 0.3, (8, 3)),
+            pose_sigma=np.full(3, 0.05)))
+        assert len(bs._pending) == 1
+        assert bs._pending[0]["i"] == 0
+
 
 @pytest.mark.slow
 def test_loop_closure_end_to_end():
