@@ -43,3 +43,27 @@ def test_engine_square_redirection(tmp_path):
     after = [r for r in s.records if r.frame > recs[0].frame]
     assert after and after[-1].n_map >= 3
     assert s.ate(gt_xy) < 0.3
+
+
+@pytest.mark.slow
+def test_host_gated_detection_modes(tiny_sequence):
+    """Chunk-level host-gated detection (api.detect_host_gate): both the
+    strict mode (gating disables pipelining — a starved map must not run
+    blind) and the opt-in pipelined mode (detect_gate_margin) must
+    process every frame and keep tracking."""
+    seq, track, gt_xy, _ = tiny_sequence
+    results = {}
+    for margin in (None, 0):
+        cfg = SlamConfig(max_landmarks=16, max_new_per_frame=8,
+                         max_detections=32, dtype="float64",
+                         gate_detection=False)
+        s = SlamSession(cfg, seq, track)
+        s.detect_host_gate = True
+        s.detect_gate_margin = margin
+        s.run(chunk=4)
+        assert len(s.records) == len(track) - 1
+        assert all(np.isfinite(r.pose).all() for r in s.records)
+        assert s.records[-1].n_map >= 3
+        results[margin] = s.ate(gt_xy)
+    # both cadences track the arc (loose: the cadence differs by design)
+    assert all(a < 0.15 for a in results.values()), results
