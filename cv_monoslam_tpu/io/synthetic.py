@@ -211,6 +211,27 @@ def make_trajectory(kind: str = "arc", n: int = 60, step: float = 0.03,
     return xy, theta
 
 
+def noisy_odometry(gt_xy, gt_th, rng, sigma_rot=0.0, sigma_trans_rel=0.02):
+    """Control-space odometry noise: heading random-walk + relative step
+    noise, integrated — smooth self-consistent drift like real encoders
+    (position-jitter models make atan2-derived headings explode)."""
+    n = len(gt_th)
+    odo_xy = np.zeros_like(gt_xy)
+    odo_th = gt_th.copy()
+    odo_xy[0] = gt_xy[0]
+    phi = 0.0
+    for k in range(1, n):
+        d = gt_xy[k] - gt_xy[k - 1]
+        phi += rng.normal(0, sigma_rot)
+        c, s = np.cos(phi), np.sin(phi)
+        dn = np.array([c * d[0] - s * d[1], s * d[0] + c * d[1]])
+        if sigma_rot > 0:
+            dn = dn * (1 + rng.normal(0, sigma_trans_rel))
+        odo_xy[k] = odo_xy[k - 1] + dn
+        odo_th[k] = gt_th[k] + phi
+    return odo_xy, odo_th
+
+
 def make_sequence(
     world: SyntheticWorld,
     xy: np.ndarray,

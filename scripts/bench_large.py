@@ -86,11 +86,21 @@ def run_large(landmarks: int = 512, frames: int = 48, chunk: int = 8,
     from cv_monoslam_tpu.config import SlamConfig
 
     ms_xy = overrides.pop("min_step_xy", None)
-    seq, track, gt_xy = dense_sequence(
-        frames + 2 * chunk + 4, density=density,
-        step=overrides.pop("traj_step", 0.012),
-        world_kind=overrides.pop("world_kind", "blobs"),
-        min_step_xy=ms_xy)
+    fixture = overrides.pop("fixture", None)
+    if fixture is not None:
+        # frozen committed bytes (io/fixtures.py) — the bench path; the
+        # world/trajectory overrides below are ignored in fixture mode
+        from cv_monoslam_tpu.io import fixtures as _fx
+
+        seq, track, gt_xy, _ = _fx.load(fixture, min_step_xy=ms_xy)
+        overrides.pop("traj_step", None)
+        overrides.pop("world_kind", None)
+    else:
+        seq, track, gt_xy = dense_sequence(
+            frames + 2 * chunk + 4, density=density,
+            step=overrides.pop("traj_step", 0.012),
+            world_kind=overrides.pop("world_kind", "blobs"),
+            min_step_xy=ms_xy)
     if ms_xy is not None:
         overrides["min_step_xy"] = ms_xy
     # min_num drives occupancy (the map refills until that many matches);

@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from cv_monoslam_tpu.config import SlamConfig
 from cv_monoslam_tpu.io.dataset import ImageSequence, preprocess_odometry
 from cv_monoslam_tpu.io.synthetic import (make_sequence, make_trajectory,
-                                          make_world)
+                                          make_world, noisy_odometry)
 from cv_monoslam_tpu.models.oracle import OracleSLAM
 
 CACHE = os.path.join(os.path.dirname(__file__), "..", ".cache", "seq")
@@ -57,27 +57,6 @@ def get_sequence(kind: str, n: int, seed: int, noise: float = 0.0,
     track = preprocess_odometry(raw, min_step_xy=cfg.min_step_xy,
                                 min_step_theta=cfg.min_step_theta)
     return seq, track, gt_xy, gt_th
-
-
-def noisy_odometry(gt_xy, gt_th, rng, sigma_rot=0.0, sigma_trans_rel=0.02):
-    """Control-space odometry noise: heading random-walk + relative step
-    noise, integrated — smooth self-consistent drift like real encoders
-    (position-jitter models make atan2-derived headings explode)."""
-    n = len(gt_th)
-    odo_xy = np.zeros_like(gt_xy)
-    odo_th = gt_th.copy()
-    odo_xy[0] = gt_xy[0]
-    phi = 0.0
-    for k in range(1, n):
-        d = gt_xy[k] - gt_xy[k - 1]
-        phi += rng.normal(0, sigma_rot)
-        c, s = np.cos(phi), np.sin(phi)
-        dn = np.array([c * d[0] - s * d[1], s * d[0] + c * d[1]])
-        if sigma_rot > 0:
-            dn = dn * (1 + rng.normal(0, sigma_trans_rel))
-        odo_xy[k] = odo_xy[k - 1] + dn
-        odo_th[k] = gt_th[k] + phi
-    return odo_xy, odo_th
 
 
 def run_one(kind, n, seed, noise, **overrides):

@@ -2,9 +2,18 @@
 SRUKF semantics"). Prints ONE JSON dict.
 
 Runs both the serial oracle (the transcription of the reference's math)
-and the engine in default f64 mode on the same >=64-frame sequences, two
-trajectories. Must run on CPU (the oracle is NumPy; f64 state is not a
-TPU dtype) — bench.py invokes this as a subprocess with JAX_PLATFORMS=cpu.
+and the engine in default f64 mode on the same >=64-frame frozen
+fixtures (io/fixtures.py), two trajectories. Must run on CPU (the oracle
+is NumPy; f64 state is not a TPU dtype) — bench.py invokes this as a
+subprocess with JAX_PLATFORMS=cpu.
+
+The loop scenario additionally runs the engine in FAITHFUL mode
+(subpixel off, flat rho init, sequential per-landmark updates with the
+reference's GMW recompose downdate) so the default engine's divergence
+from the oracle is ATTRIBUTED to its named, documented deviations rather
+than left as an unexplained 40% gap (VERDICT r4 weak #6): faithful
+should land near the oracle; default's improvement is bought by the
+deviations.
 """
 
 import json
@@ -26,14 +35,27 @@ _enable_cache(os.path.join(os.path.dirname(__file__), "..", ".cache",
 
 import numpy as np
 
-from experiment import get_sequence
 from cv_monoslam_tpu.api import SlamSession
 from cv_monoslam_tpu.config import SlamConfig
+from cv_monoslam_tpu.io import fixtures
 from cv_monoslam_tpu.models.oracle import OracleSLAM
 
+# the engine's documented deviations from the reference math, switched
+# OFF for the faithful run (each is a config knob precisely so this
+# attribution is one config away)
+FAITHFUL = dict(subpixel_match=False, rho_init_mode="flat",
+                update_mode="sequential", downdate_mode="gmw")
 
-def run_pair(kind: str, n: int):
-    seq, track, gt_xy, _ = get_sequence(kind, n, 0)
+
+def run_engine(seq, track, gt_xy, **overrides):
+    cfg = SlamConfig(max_landmarks=16, dtype="float64", **overrides)
+    sess = SlamSession(cfg, seq, track)
+    sess.run()
+    return round(float(sess.ate(gt_xy)), 5)
+
+
+def run_pair(fixture: str, faithful: bool = False):
+    seq, track, gt_xy, _ = fixtures.load(fixture)
     cfg = SlamConfig(max_landmarks=16, dtype="float64")
     oracle = OracleSLAM(cfg, seq, track)
     while oracle.counter < len(track):
@@ -41,16 +63,19 @@ def run_pair(kind: str, n: int):
     otraj = np.stack(oracle.traj)
     ids = track.frame_id[1:len(otraj) + 1]
     o_ate = float(np.sqrt(((otraj[:, :2] - gt_xy[ids]) ** 2).sum(1).mean()))
-    sess = SlamSession(cfg, seq, track)
-    sess.run()
-    return dict(frames=len(otraj), ate_oracle=round(o_ate, 5),
-                ate_engine=round(float(sess.ate(gt_xy)), 5))
+    out = dict(frames=len(otraj), ate_oracle=round(o_ate, 5),
+               ate_engine=run_engine(seq, track, gt_xy))
+    if faithful:
+        out["ate_engine_faithful"] = run_engine(seq, track, gt_xy,
+                                                **FAITHFUL)
+    return out
 
 
 def main():
-    out = {}
-    for kind, n in (("arc", 105), ("loop@0.06", 105)):
-        out[kind] = run_pair(kind, n)
+    out = {
+        "arc": run_pair("bench1_arc"),
+        "loop@0.06": run_pair("parity_loop", faithful=True),
+    }
     print(json.dumps(out))
 
 
