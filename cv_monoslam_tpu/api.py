@@ -119,9 +119,14 @@ class SlamSession:
         #: starved for up to 2*chunk frames, which is why gating disables
         #: pipelining by default). Set to an int margin M to re-enable:
         #: detection triggers at matched < min_num + M, absorbing the
-        #: staleness. Appropriate when min_num is far above true
-        #: starvation (capacity configs hovering at 400 of 512), NOT for
-        #: reference-default min_num=5 runs.
+        #: staleness. M=0 is VALID but means pipelining with NO cushion —
+        #: the stale-gate hazard is accepted as-is; sound only when the
+        #: config hovers far above true starvation (capacity configs at
+        #: ~400 matched of min_num=400, where a one-chunk-late detection
+        #: merely dips occupancy — bench_large runs exactly this), NEVER
+        #: for reference-default min_num=5 runs, where two starved chunks
+        #: can drop the map below redetection's reach. A warning fires on
+        #: the dangerous combination (see run()).
         self.detect_gate_margin: Optional[int] = None
         self._last_matched = 0            # latest n_matched seen
 
@@ -440,6 +445,20 @@ class SlamSession:
         pipelined = (self.watchdog is None and self.backend is None
                      and (not self.detect_host_gate
                           or self.detect_gate_margin is not None))
+        if (pipelined and self.detect_host_gate
+                and (self.detect_gate_margin or 0) < chunk
+                and self.cfg.min_num <= self.cfg.max_new_per_frame):
+            # margin below the per-chunk staleness AND a min_num small
+            # enough that one starved stretch can drop the map below
+            # redetection's reach (reference-default min_num=5 regime)
+            import warnings
+
+            warnings.warn(
+                f"pipelined host-gated detection with margin "
+                f"{self.detect_gate_margin} < chunk {chunk} at "
+                f"min_num={self.cfg.min_num}: the stale gate can run "
+                f"starved for up to 2*chunk frames with no cushion",
+                stacklevel=2)
         if chunk > 1:
             done = 0          # frames with records materialized
             dispatched = 0    # frames consumed by the device

@@ -213,25 +213,35 @@ def _constellation_align(a_xy: np.ndarray, b_xy: np.ndarray, tol: float,
     K = len(dth_k)
     keyv = nnb + nb * np.arange(K)[:, None]
     scores = np.bincount(np.unique(keyv[hit]) // nb, minlength=K)
-    kbest = int(scores.argmax())
-    if scores[kbest] < min_inliers:
-        return None
-    rows, cols = _one_to_one_inliers(pred[kbest], b_xy, tol)
-    if len(rows) < min_inliers:
-        return None
-    # refit on the winning inlier set, re-gate, refit once more
-    for _ in range(2):
-        fit = _procrustes2d(a_xy[rows], b_xy[cols])
-        if fit is None:
-            return None
-        dth, t = fit
-        rows, cols = _one_to_one_inliers(
-            _rigid_apply(dth, t, a_xy), b_xy, tol)
+    # the distinct-NN score is an approximation of the exact one-to-one
+    # inlier count, so the top-scoring hypothesis can fail the exact
+    # floor while a lower-ranked one passes — verify the top few by score
+    # before giving up (advisor r4)
+    for kbest in np.argsort(scores, kind="stable")[::-1][:5]:
+        if scores[kbest] < min_inliers:
+            break
+        rows, cols = _one_to_one_inliers(pred[kbest], b_xy, tol)
         if len(rows) < min_inliers:
-            return None
-    res = _rigid_apply(dth, t, a_xy[rows]) - b_xy[cols]
-    rms = float(np.sqrt((res ** 2).sum(1).mean()))
-    return dth, t, (rows, cols), rms
+            continue
+        # refit on the winning inlier set, re-gate, refit once more
+        ok = True
+        for _ in range(2):
+            fit = _procrustes2d(a_xy[rows], b_xy[cols])
+            if fit is None:
+                ok = False
+                break
+            dth, t = fit
+            rows, cols = _one_to_one_inliers(
+                _rigid_apply(dth, t, a_xy), b_xy, tol)
+            if len(rows) < min_inliers:
+                ok = False
+                break
+        if not ok:
+            continue
+        res = _rigid_apply(dth, t, a_xy[rows]) - b_xy[cols]
+        rms = float(np.sqrt((res ** 2).sum(1).mean()))
+        return dth, t, (rows, cols), rms
+    return None
 
 
 def _robust_procrustes2d(a_xy: np.ndarray, b_xy: np.ndarray, tol: float,
@@ -365,6 +375,17 @@ class BackendSession:
         self.loop_confirm = loop_confirm
         #: keyframes a pending (unconfirmed) sighting stays alive
         self.loop_pending_ttl = loop_pending_ttl
+        #: view-footprint diagonal (m): the ceiling patch a camera at
+        #: height cfg.deep sees spans deep*H/f1 x deep*W/f2 world metres
+        #: (the renderer's inverse projection, io/synthetic.py render();
+        #: swapped-axis pairing per SLAM.cpp:3360-3363), so two camera
+        #: positions can co-observe landmarks only within its diagonal —
+        #: derived from the config rather than the old hardcoded 3.2
+        #: (advisor r4: other ceiling heights/FOVs silently skipped
+        #: genuine loop candidates)
+        cam = cfg.camera
+        self.view_footprint = float(cfg.deep * np.hypot(
+            cam.width / cam.f2, cam.height / cam.f1))
         self._pending: List[dict] = []
         #: {old keyframe index -> newest committing j}: places with a
         #: COMMITTED loop edge. A later sighting of a validated place
@@ -440,8 +461,6 @@ class BackendSession:
                 and j - vj <= self.loop_pending_ttl
                 for vi, vj in self._validated.items()):
             return []
-        self._pending = [p for p in self._pending
-                         if j - p["j"] <= self.loop_pending_ttl]
         cen = cand["cen"]
         hits = []
         for p in self._pending:
@@ -515,12 +534,23 @@ class BackendSession:
         drift; the corrected new pose is D^-1 applied to the current one.
         """
         j = len(self.keyframes)
-        b_pts = np.asarray(kf.map_xyz)[:, :2]
-        b_lids = np.asarray(kf.map_lids)
+        # expire stale pendings unconditionally (advisor r4: pruning only
+        # inside _confirm let them linger — holding arrays and skewing
+        # _pending — while a place kept committing via the validated
+        # fast path)
+        self._pending = [p for p in self._pending
+                         if j - p["j"] <= self.loop_pending_ttl]
+        b_pts_full = np.asarray(kf.map_xyz)[:, :2]
+        b_lids_full = np.asarray(kf.map_lids)
+        b_pts, b_lids = b_pts_full, b_lids_full
         if len(b_pts) > self.loop_max_const:
             # cap the new-keyframe side too (even stride keeps spatial
             # coverage): at M=512 an uncapped 400+-point b side makes the
-            # vectorized hypothesis arrays ~100 MB per candidate pair
+            # vectorized hypothesis arrays ~100 MB per candidate pair.
+            # Only the GEOMETRIC paths are capped — the exact-id path
+            # below intersects the full id set (O(n log n); a 64-point
+            # subsample of 400+ ids starved shared-id re-identification
+            # below loop_min_shared, advisor r4)
             sub = np.linspace(0, len(b_pts) - 1,
                               self.loop_max_const).astype(int)
             b_pts = b_pts[sub]
@@ -539,7 +569,7 @@ class BackendSession:
             # constellation build + RANSAC for hopeless pairs
             if (float(np.hypot(*(np.asarray(old.pose[:2])
                                  - np.asarray(kf.pose[:2]))))
-                    > 3.2 + self.loop_max_drift):
+                    > self.view_footprint + self.loop_max_drift):
                 continue
             # place constellation around old keyframe i: the UNION of the
             # active maps of keyframes i±loop_union_kfs (dedup by id,
@@ -550,12 +580,13 @@ class BackendSession:
             # the inlier floor to separate real alignments from chance.
             a_lids, a_pts = self._place_constellation(i, j)
             drift, path, n_inl, a_used = None, None, 0, None
-            # (1) exact re-identification by landmark id
-            shared, ia, ib = np.intersect1d(a_lids, b_lids,
+            # (1) exact re-identification by landmark id — over the FULL
+            # new-keyframe id set (uncapped; see b-side cap note above)
+            shared, ia, ib = np.intersect1d(a_lids, b_lids_full,
                                             return_indices=True)
             if len(shared) >= self.loop_min_shared:
                 drift = _robust_procrustes2d(
-                    a_pts[ia], b_pts[ib], self.loop_fit_tol,
+                    a_pts[ia], b_pts_full[ib], self.loop_fit_tol,
                     self.loop_min_shared)
                 if drift is not None:
                     path, n_inl = "id", int(drift[2].sum())

@@ -137,7 +137,7 @@ def ncc_score_map(regions: jnp.ndarray, patches: jnp.ndarray, *, pm: int,
     if m_pad != m:
         regions = jnp.pad(regions, ((0, m_pad - m), (0, 0), (0, 0)))
         bland = jnp.pad(bland, ((0, m_pad - m), (0, 0), (0, 0), (0, 0)))
-    space = pltpu.ANY if interpret else pltpu.VMEM
+    space = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         functools.partial(_ncc_kernel, pm=pm, w1=w1),
         grid=(m_pad // mb,),
@@ -230,14 +230,14 @@ def warp_bilinear(patches: jnp.ndarray, su: jnp.ndarray, sv: jnp.ndarray,
         grid=(m_pad // mb,),
         in_specs=[
             pl.BlockSpec((mb, pi, pi), lambda i: (i, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((mb, kk, pi), lambda i: (i, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((mb, kk, pi), lambda i: (i, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((mb, po, po), lambda i: (i, 0, 0),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, po, po), dtype),
         interpret=interpret,
