@@ -580,6 +580,18 @@ class BackendSession:
             # the inlier floor to separate real alignments from chance.
             a_lids, a_pts = self._place_constellation(i, j)
             drift, path, n_inl, a_used = None, None, 0, None
+            # size-scaled inlier floors for the GEOMETRIC paths: a fixed
+            # floor stops separating genuine from chance as constellations
+            # grow (measured on the frozen lap fixture: genuine revisit
+            # alignments reach 8-10 inliers of ~25-point sides while
+            # chance alignments of the same sides reach 6-7 — the fixed
+            # 6-floor admitted those, and near-identity NN aliasing even
+            # SELF-CONFIRMS, identity agreeing with identity). The exact-
+            # id path keeps the small fixed floor: ids cannot alias.
+            side = min(len(a_pts), len(b_pts))
+            geo_floor = max(self.loop_geo_min_inliers,
+                            int(round(0.3 * side)))
+            nn_floor = max(self.loop_min_shared, int(round(0.4 * side)))
             # (1) exact re-identification by landmark id — over the FULL
             # new-keyframe id set (uncapped; see b-side cap note above)
             shared, ia, ib = np.intersect1d(a_lids, b_lids_full,
@@ -592,24 +604,77 @@ class BackendSession:
                     path, n_inl = "id", int(drift[2].sum())
                     a_used = a_pts[ia][drift[2]]
             if drift is None:
-                # (2) small-drift proximity pairing
+                # (2) small-drift proximity pairing: when the true drift
+                # is below the pairing radius, MOST of the smaller side
+                # mutually pairs — a handful of pairs at large true drift
+                # is aliasing, not evidence
                 pairs = _mutual_nn_pairs(a_pts, b_pts,
                                          self.loop_pair_radius)
-                if pairs is not None and len(pairs[0]) >= self.loop_min_shared:
+                if pairs is not None and len(pairs[0]) >= nn_floor:
                     drift = _robust_procrustes2d(
                         a_pts[pairs[0]], b_pts[pairs[1]],
-                        self.loop_fit_tol, self.loop_min_shared)
+                        self.loop_fit_tol, nn_floor)
                     if drift is not None:
                         path, n_inl = "nn", int(drift[2].sum())
                         a_used = a_pts[pairs[0]][drift[2]]
             if drift is None:
                 # (3) large-drift constellation alignment
                 fit = _constellation_align(a_pts, b_pts, self.loop_fit_tol,
-                                           self.loop_geo_min_inliers)
+                                           geo_floor)
                 if fit is not None:
                     drift = fit
                     path, n_inl = "geo", len(fit[2][0])
                     a_used = a_pts[fit[2][0]]
+            if drift is None:
+                # (4) pending-hypothesis verification: detection needs
+                # geo_floor inliers under an argmax over ~256 transform
+                # hypotheses, but an EXISTING pending sighting of this
+                # place supplies ONE specific transform to test — and
+                # verifying a fixed transform at tol has a far lower
+                # chance rate than searching, so a smaller floor carries
+                # the same strength. This is what lets a revisit whose
+                # keyframe map sits at a slot-churn minimum (10-14
+                # landmarks on the frozen lap fixture — too thin for the
+                # search floor) still corroborate the first sighting
+                # instead of starving temporal confirmation.
+                floor_c = max(4, int(round(0.25 * side)))
+                for p in self._pending:
+                    if (p["j"] >= j
+                            or abs(p["i"] - i) > 2 * self.loop_union_kfs):
+                        continue
+                    # the pending transform is keyframes stale and drift
+                    # keeps accumulating, so pair FIRST at the same
+                    # displacement tolerance the confirmation agreement
+                    # allows (0.35 m), then demand the refit converge at
+                    # the tight fit tol — loose association, strict
+                    # verification
+                    pred = _rigid_apply(p["dth"], p["t"], a_pts)
+                    rows, cols = _one_to_one_inliers(pred, b_pts, 0.35)
+                    if len(rows) < floor_c:
+                        continue
+                    ok = True
+                    dth_c = t_c = None
+                    for it in range(3):
+                        fit = _procrustes2d(a_pts[rows], b_pts[cols])
+                        if fit is None:
+                            ok = False
+                            break
+                        dth_c, t_c = fit
+                        rows, cols = _one_to_one_inliers(
+                            _rigid_apply(dth_c, t_c, a_pts), b_pts,
+                            self.loop_fit_tol if it else 0.15)
+                        if len(rows) < floor_c:
+                            ok = False
+                            break
+                    if not ok:
+                        continue
+                    res = (_rigid_apply(dth_c, t_c, a_pts[rows])
+                           - b_pts[cols])
+                    drift = (dth_c, np.asarray(t_c), (rows, cols),
+                             float(np.sqrt((res ** 2).sum(1).mean())))
+                    path, n_inl = "confirm", len(rows)
+                    a_used = a_pts[rows]
+                    break
             if drift is None:
                 continue
             dth, t, _, rms = drift            # new_xy ~ R(dth) old_xy + t

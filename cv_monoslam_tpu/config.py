@@ -190,6 +190,14 @@ class SlamConfig:
     #: active-search + patch warp), "xla" = grouped-conv/gather formulation,
     #: "auto" = pallas on TPU, xla elsewhere.
     vision_backend: str = "auto"
+    #: multi-chip: panel width for the row-sharded blocked Cholesky of the
+    #: joint update matrix (parallel/dist_chol.py). 0 (default) keeps the
+    #: factorization replicated — correct on any mesh, but the (2M+D)^2
+    #: Cholesky then caps row-sharded filter-step scaling (9.2% modeled
+    #: efficiency at 8 devices, r4). Set to e.g. 64 when running the
+    #: shard_sqrt layout under jax.sharding.set_mesh; single-device runs
+    #: ignore it (no ambient map axis).
+    dist_chol_panel: int = 0
     #: sigma-point realization strategy. "full" = materialize the
     #: (Na, 2Na+1) augmented sigma tensor (the reference's structure,
     #: SLAM.cpp:1463); "implicit" = never materialize it: the motion UT

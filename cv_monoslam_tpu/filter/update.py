@@ -104,7 +104,7 @@ def _update_gram(state: FilterState, cache: PredictCache,
     # unrepairable frame degrades to "skip this update" rather than
     # poisoning the filter.
     G = gram(state.S)
-    S_new, dx, rep = _joint_schur_chol(pyy, pxy, G, nu)
+    S_new, dx, rep = _joint_schur_chol(pyy, pxy, G, nu, cfg)
     ok = any_match & jnp.all(jnp.isfinite(S_new)) & jnp.all(jnp.isfinite(dx))
     skipped = (any_match & ~ok).astype(jnp.int32)
 
@@ -168,7 +168,7 @@ def _update_gram_implicit(state: FilterState, cache: PredictCache,
     nu = (lm.match_px - lm.pred).reshape(-1)
     nu = jnp.where(cmask, nu, 0.0)
 
-    S_new, dx, rep = _joint_schur_chol(pyy, pxy, G, nu)
+    S_new, dx, rep = _joint_schur_chol(pyy, pxy, G, nu, cfg)
     # a no-match frame factorizes G itself (Pxy = 0): the posterior
     # equals the prediction and the frame's single Cholesky still
     # refreshes S
@@ -188,8 +188,42 @@ def _update_gram_implicit(state: FilterState, cache: PredictCache,
                    n_skipped=state.n_skipped + skipped)
 
 
+def _dist_joint_chol(Js: jnp.ndarray, panel: int):
+    """Row-sharded blocked Cholesky of the equilibrated joint matrix
+    (parallel/dist_chol.py) with a two-rung repair: clean attempt, then
+    one 1e-3-scaled diagonal shift. A still-indefinite frame returns
+    non-finite and the caller's skip-fallback degrades it to
+    prediction-only (level 4 telemetry), mirroring chol_psd_flagged's
+    escalated rung without compiling six distributed factorizations."""
+    n = Js.shape[0]
+    eye = jnp.eye(n, dtype=Js.dtype)
+
+    from ..parallel.dist_chol import chol_rowsharded_padded
+
+    r = chol_rowsharded_padded(Js, None, panel)
+    bad = ~jnp.all(jnp.isfinite(r))
+    level = jnp.where(bad, jnp.int32(1), jnp.int32(0))
+    r = jax.lax.cond(
+        bad,
+        lambda: chol_rowsharded_padded(Js + 1e-3 * eye, None, panel),
+        lambda: r)
+    level = jnp.where(~jnp.all(jnp.isfinite(r)), jnp.int32(4), level)
+    return r, level
+
+
+def _use_dist_chol(cfg: SlamConfig | None) -> bool:
+    """Trace-time dispatch: the distributed factorization needs both the
+    config opt-in and an ambient device mesh carrying the map axis."""
+    if cfg is None or not getattr(cfg, "dist_chol_panel", 0):
+        return False
+    from ..parallel.mesh import MAP_AXIS
+
+    am = jax.sharding.get_abstract_mesh()
+    return am is not None and not am.empty and MAP_AXIS in am.axis_names
+
+
 def _joint_schur_chol(pyy: jnp.ndarray, pxy: jnp.ndarray, G: jnp.ndarray,
-                      nu: jnp.ndarray):
+                      nu: jnp.ndarray, cfg: SlamConfig | None = None):
     """Posterior sqrt + state correction via ONE joint Cholesky.
 
     Forming W = Ryy^-T Pxy^T explicitly and subtracting G - W^T W loses
@@ -205,6 +239,11 @@ def _joint_schur_chol(pyy: jnp.ndarray, pxy: jnp.ndarray, G: jnp.ndarray,
     emerges inside the backward-stable elimination with error ~eps*||J||,
     never as an explicit difference. dx = Ryx^T Ryy^-T nu. Joint-diag
     equilibration keeps small-variance directions representable in f32.
+
+    Under ``cfg.dist_chol_panel > 0`` with an ambient map-axis mesh, the
+    (2M+D)^2 factorization — the replicated-compute residue that capped
+    the row-sharded filter step at 9.2% modeled efficiency in r4 — runs
+    as the row-sharded blocked panel algorithm instead.
     """
     m2 = pyy.shape[0]
     D = G.shape[0]
@@ -213,7 +252,11 @@ def _joint_schur_chol(pyy: jnp.ndarray, pxy: jnp.ndarray, G: jnp.ndarray,
         jnp.concatenate([pxy, G], axis=1)], axis=0)
     dj = jnp.sqrt(jnp.maximum(jnp.diag(J), 0.0))
     dj = jnp.where(dj > 0, dj, 1.0)
-    Rj, rep = chol_psd_flagged(J / (dj[:, None] * dj[None, :]), 1e-6)
+    Js = J / (dj[:, None] * dj[None, :])
+    if _use_dist_chol(cfg):
+        Rj, rep = _dist_joint_chol(Js, cfg.dist_chol_panel)
+    else:
+        Rj, rep = chol_psd_flagged(Js, 1e-6)
     R = Rj * dj[None, :]
     ryy = R[:m2, :m2]
     ryx = R[:m2, m2:]

@@ -74,7 +74,8 @@ def dense_sequence(n_frames: int, seed: int = 0, density: float = 60.0,
 
 
 def run_large(landmarks: int = 512, frames: int = 48, chunk: int = 8,
-              quiet: bool = False, density: float = 100.0, **overrides):
+              quiet: bool = False, density: float = 100.0,
+              oracle_budget_s: float = 0.0, **overrides):
     import jax
 
     from cv_monoslam_tpu.utils.compile_cache import enable as _enable_cache
@@ -150,9 +151,50 @@ def run_large(landmarks: int = 512, frames: int = 48, chunk: int = 8,
                fps=round(1.0 / dt, 2), ate_m=round(float(ate), 4),
                peak_map=int(peak), finite=bool(health_ok),
                backend=jax.default_backend())
+    if oracle_budget_s > 0:
+        out["oracle"] = oracle_probe(cfg, seq, track,
+                                     budget_s=oracle_budget_s)
+        if out["oracle"].get("fps"):
+            out["vs_oracle"] = round(out["fps"] / out["oracle"]["fps"], 1)
     if not quiet:
         print(out)
     return out
+
+
+def oracle_probe(cfg, seq, track, budget_s: float = 40.0):
+    """Serial-NumPy-oracle throughput on the large-state scenario
+    (VERDICT r4 item 8: config 1's 6.45x-oracle ratio has no large-state
+    counterpart). The oracle's state RESIZES like the reference
+    (SLAM.cpp:1260-1334), so its per-step cost grows ~D^3 as the map
+    fills; the probe runs under a wall-clock budget and reports the
+    throughput of the last steps plus the map size it managed to reach —
+    if the budget expires long before the 500-landmark regime, that gap
+    IS the comparison."""
+    import time as _t
+
+    from cv_monoslam_tpu.config import SlamConfig as _SC
+    from cv_monoslam_tpu.models.oracle import OracleSLAM
+
+    ocfg = _SC(max_landmarks=cfg.max_landmarks,
+               max_new_per_frame=cfg.max_new_per_frame,
+               max_detections=cfg.max_detections,
+               min_dist=cfg.min_dist, min_num=cfg.min_num,
+               min_step_xy=cfg.min_step_xy, dtype="float64")
+    oracle = OracleSLAM(ocfg, seq, track)
+    t0 = _t.perf_counter()
+    times = []
+    while (oracle.counter < len(track)
+           and _t.perf_counter() - t0 < budget_s):
+        s0 = _t.perf_counter()
+        oracle.step()
+        times.append(_t.perf_counter() - s0)
+    tail = times[-3:] if len(times) >= 3 else times
+    dt = float(np.mean(tail)) if tail else float("nan")
+    return dict(steps=len(times), map_size=len(oracle.landmarks),
+                state_dim=len(oracle.x),
+                ms_per_frame=round(dt * 1e3, 1),
+                fps=round(1.0 / dt, 3) if dt and np.isfinite(dt) else None,
+                budget_s=budget_s)
 
 
 if __name__ == "__main__":

@@ -106,10 +106,24 @@ def filter_scaling(n_iters=2, m=510):
     on the serialized virtual mesh. M=510 -> D=3064 divisible by 8.
 
     Same serialized-execution semantics as the BA curve: T_N_serial ~=
-    N * T_N_par, and the overhead it exposes is REAL replicated work —
-    the shard_sqrt layout psums local Grams but replicates the D x D
-    Cholesky on every device, so the modeled efficiency is the honest
-    gram-vs-chol compute ratio, not a free 100%."""
+    N * T_N_par. Three variants:
+
+      replicated_1dev          — the single-device baseline
+      row_sharded_8dev_replchol — r4 layout: Grams psum'd but the
+                                  (2M+D)^2 joint Cholesky REPLICATED on
+                                  every device (recorded 9.2% in r4)
+      row_sharded_8dev         — r5: the joint factorization itself runs
+                                  as the row-sharded blocked panel
+                                  Cholesky (parallel/dist_chol.py,
+                                  cfg.dist_chol_panel)
+
+    Measurement discipline (r4 reconciliation, VERDICT weak #2): every
+    variant is timed by the SAME scan harness in the SAME process with
+    single-threaded Eigen, warmed compile, best-of-3 — the r4 PERF.md
+    narrative (6.31 s/step 1-dev) and the r4 artifact (1.52 s/step) came
+    from different processes/thread settings and disagreed 4x; this
+    function is now the single source of truth.
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from cv_monoslam_tpu.config import SlamConfig
@@ -117,8 +131,12 @@ def filter_scaling(n_iters=2, m=510):
     from cv_monoslam_tpu.filter.state import init_state
     from cv_monoslam_tpu.parallel.mesh import make_mesh, state_shardings
 
-    cfg = SlamConfig(max_landmarks=m, update_mode="gram", qr_mode="gram",
-                     sigma_mode="implicit", dtype="float32")
+    def make_cfg(dist_panel):
+        return SlamConfig(max_landmarks=m, update_mode="gram",
+                          qr_mode="gram", sigma_mode="implicit",
+                          dtype="float32", dist_chol_panel=dist_panel)
+
+    cfg = make_cfg(0)
     rng = np.random.default_rng(1)
     state = init_state(cfg)
     n_act = 128
@@ -143,23 +161,42 @@ def filter_scaling(n_iters=2, m=510):
         return run
 
     out = {}
-    for name, n_dev in (("replicated_1dev", 1), ("row_sharded_8dev", 8)):
+    variants = (("replicated_1dev", 1, 0),
+                ("row_sharded_8dev_replchol", 8, 0),
+                ("row_sharded_8dev", 8, 64))
+    for name, n_dev, dist_panel in variants:
+        vcfg = make_cfg(dist_panel)
         mesh = make_mesh(n_dev)
-        sh = state_shardings(mesh, cfg, shard_sqrt=(n_dev > 1))
+        sh = state_shardings(mesh, vcfg, shard_sqrt=(n_dev > 1))
         rep = NamedSharding(mesh, P())
         st_dev = jax.device_put(state, sh)
         args = [jax.device_put(np.asarray(v), rep) for v in (img, op, oc)]
-        fn = jax.jit(scan_step(cfg), in_shardings=(sh, rep, rep, rep),
-                     out_shardings=sh)
-        jax.block_until_ready(fn(st_dev, *args))
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(st_dev, *args))
-            best = min(best, (time.perf_counter() - t0) / n_iters)
+        with jax.sharding.set_mesh(mesh):
+            fn = jax.jit(scan_step(vcfg), in_shardings=(sh, rep, rep, rep),
+                         out_shardings=sh)
+            res = fn(st_dev, *args)
+            jax.block_until_ready(res)
+            # sanity: sharded variants must not grossly diverge from the
+            # baseline (f32 psum reduction order legitimately perturbs
+            # the pose at the ~1e-3 level after 2 steps; bit-level shard
+            # invariance is pinned by tests/test_spmd_filter.py on
+            # smaller states)
+            if name == "replicated_1dev":
+                pose_ref = np.asarray(res.x)[-4:]
+            else:
+                np.testing.assert_allclose(np.asarray(res.x)[-4:],
+                                           pose_ref, rtol=0.2, atol=5e-3)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(st_dev, *args))
+                best = min(best, (time.perf_counter() - t0) / n_iters)
         out[name] = round(best, 4)
-    t1, t8 = out["replicated_1dev"], out["row_sharded_8dev"]
-    out["modeled_efficiency_pct"] = round(100 * t1 / t8, 1)
+    t1 = out["replicated_1dev"]
+    out["modeled_efficiency_replchol_pct"] = round(
+        100 * t1 / out["row_sharded_8dev_replchol"], 1)
+    out["modeled_efficiency_pct"] = round(
+        100 * t1 / out["row_sharded_8dev"], 1)
     return out
 
 

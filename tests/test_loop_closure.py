@@ -155,6 +155,38 @@ class TestTemporalConfirmation:
         # both sightings of the validated place became graph constraints
         assert {(i, j) for i, j, _, _ in bs.loop_edges} == {(0, 4), (0, 5)}
 
+    def test_thin_map_confirms_via_pending_hypothesis(self):
+        """A second sighting whose keyframe map is too thin for the geo
+        search floor still corroborates the pending via path (4): the
+        pending transform is verified directly against the thin map
+        (loose association at the drift-evolution tolerance, strict
+        refit at the fit tol) — the slot-churn-minimum case measured on
+        the frozen lap fixture (r5)."""
+        bs, lms = self._backend_with_history()
+        bs._add(self._revisit(10, 100, lms, 0.05, np.array([0.12, -0.08])))
+        assert len(bs.loop_edges) == 0          # single sighting pends
+        # second sighting with only 5 of the 8 landmarks visible (below
+        # the 6-inlier geo floor) and the drift slightly evolved
+        thin = self._revisit(11, 200, lms, 0.06, np.array([0.16, -0.05]))
+        thin.map_xyz = thin.map_xyz[:5]
+        thin.map_lids = thin.map_lids[:5]
+        bs._add(thin)
+        assert len(bs.loop_edges) == 2
+        assert any(e.get("path") == "confirm" and e.get("accepted")
+                   for e in bs.edge_log)
+
+    def test_pending_hypothesis_rejects_wrong_transform(self):
+        """Path (4) must NOT manufacture agreement: a pending whose
+        transform does not describe the new sighting's geometry fails
+        the strict refit and nothing commits."""
+        bs, lms = self._backend_with_history()
+        bs._add(self._revisit(10, 100, lms, 0.05, np.array([0.12, -0.08])))
+        thin = self._revisit(11, 200, lms, 0.9, np.array([-0.8, 0.7]))
+        thin.map_xyz = thin.map_xyz[:5]
+        thin.map_lids = thin.map_lids[:5]
+        bs._add(thin)
+        assert len(bs.loop_edges) == 0
+
     def test_validated_place_commits_immediately(self):
         bs, lms = self._backend_with_history()
         bs._add(self._revisit(10, 100, lms, 0.05, np.array([0.12, -0.08])))
