@@ -198,6 +198,16 @@ class SlamConfig:
     #: shard_sqrt layout under jax.sharding.set_mesh; single-device runs
     #: ignore it (no ambient map axis).
     dist_chol_panel: int = 0
+    #: fold feature integration into the frame's existing factorization
+    #: budget (filter/lifecycle._fold_sqrt): the integrated sqrt is built
+    #: in closed form from the posterior S (exact — same UT Gram), so
+    #: detect frames skip the second D x D Cholesky (~5 ms at M=512,
+    #: measured v5e). Applies only to sigma_mode="implicit" +
+    #: update_mode="gram" (the one-chol pipeline); other modes keep the
+    #: structured-Gram refactorization. The folded S is temporarily
+    #: non-triangular (re-triangularized by the next frame's joint-Schur
+    #: update), which nothing in the gram/implicit pipeline reads.
+    integrate_fold: bool = True
     #: sigma-point realization strategy. "full" = materialize the
     #: (Na, 2Na+1) augmented sigma tensor (the reference's structure,
     #: SLAM.cpp:1463); "implicit" = never materialize it: the motion UT

