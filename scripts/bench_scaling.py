@@ -161,9 +161,12 @@ def filter_scaling(n_iters=2, m=510):
         return run
 
     out = {}
+    # panel=256 measured best on the serialized mesh (64: 13.7 s, 128:
+    # 10.1 s, 256: 9.3 s per step at D=3064): fewer collective rounds and
+    # fatter MXU panels; the replicated nb^3/3-per-panel work stays <1%
     variants = (("replicated_1dev", 1, 0),
                 ("row_sharded_8dev_replchol", 8, 0),
-                ("row_sharded_8dev", 8, 64))
+                ("row_sharded_8dev", 8, 256))
     for name, n_dev, dist_panel in variants:
         vcfg = make_cfg(dist_panel)
         mesh = make_mesh(n_dev)

@@ -58,7 +58,7 @@ def main():
     cfg = SlamConfig(max_landmarks=M, max_new_per_frame=48,
                      max_detections=512, update_mode="gram",
                      qr_mode="gram", sigma_mode="implicit",
-                     min_dist=8.0, min_num=400,
+                     min_dist=8.0, min_num=400, gate_detection=False,
                      n_initial_raws=96, n_process_raws=96)
     print(f"backend={jax.default_backend()} M={M} D={cfg.state_dim}")
 
