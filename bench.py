@@ -104,7 +104,7 @@ def bench_parity():
         [sys.executable,
          os.path.join(os.path.dirname(__file__), "scripts",
                       "parity_bench.py")],
-        capture_output=True, text=True, timeout=600, env=env)
+        capture_output=True, text=True, timeout=1200, env=env)
     if out.returncode != 0:
         return {"error": (out.stderr or out.stdout)[-300:]}
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -210,7 +210,7 @@ def bench_scaling():
         [sys.executable,
          os.path.join(os.path.dirname(__file__), "scripts",
                       "bench_scaling.py")],
-        capture_output=True, text=True, timeout=900, env=env)
+        capture_output=True, text=True, timeout=1500, env=env)
     if out.returncode != 0:
         return {"error": (out.stderr or out.stdout)[-300:]}
     return json.loads(out.stdout.strip().splitlines()[-1])

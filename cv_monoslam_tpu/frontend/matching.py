@@ -158,6 +158,15 @@ def ncc_scores(image: jnp.ndarray, centers: jnp.ndarray,
     if cfg is not None and _use_pallas(cfg, kernel="ncc"):
         return ncc_score_map(regions, patches, pm=Pm, w1=W1), base
 
+    # XLA:TPU miscompiles the grouped conv below when its input chain
+    # carries an integer->float convert fused through the region gather
+    # (uint8-transported frames, api._prep_image): every score comes back
+    # 0.0 while the same executable with a float32 image input is correct
+    # (measured r5 on v5e — matched collapsed 549 -> 0 at M=576; the
+    # Pallas path is immune). The barrier pins the f32 materialization of
+    # the regions so the convert cannot fuse into the conv.
+    regions = jax.lax.optimization_barrier(regions)
+
     # grouped conv: input (1, M, Rg, Rg), kernels (M, 1, Pm, Pm)
     def gconv(x, k):
         return jax.lax.conv_general_dilated(

@@ -35,6 +35,11 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax
 
+from cv_monoslam_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache(os.path.join(os.path.dirname(__file__), "..", ".cache",
+                           "jax-cpu"))
+
 jax.config.update("jax_enable_x64", True)   # f32 Schur sums over 32k
 #                                             landmarks are reduction-
 #                                             order-dependent AND diverge
@@ -101,7 +106,7 @@ def time_solve(prob, cfg, n_dev, repeats=3):
     return best, out
 
 
-def filter_scaling(n_iters=2, m=510):
+def filter_scaling(n_iters=1, m=510):
     """Replicated vs row-sharded full filter step (no-detect executable)
     on the serialized virtual mesh. M=510 -> D=3064 divisible by 8.
 
@@ -190,7 +195,9 @@ def filter_scaling(n_iters=2, m=510):
                 np.testing.assert_allclose(np.asarray(res.x)[-4:],
                                            pose_ref, rtol=0.2, atol=5e-3)
             best = float("inf")
-            for _ in range(3):
+            # serialized 8-dev walls run minutes per step: best-of-2
+            # there, best-of-3 on the 1-dev baseline (time-budget bound)
+            for _ in range(3 if n_dev == 1 else 2):
                 t0 = time.perf_counter()
                 jax.block_until_ready(fn(st_dev, *args))
                 best = min(best, (time.perf_counter() - t0) / n_iters)

@@ -155,3 +155,42 @@ def test_matching_pallas_vs_xla_paths():
     np.testing.assert_array_equal(np.asarray(bp), np.asarray(bx))
     np.testing.assert_allclose(np.asarray(sp), np.asarray(sx),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_ncc_scores_uint8_image_input_matches_f32():
+    """Regression: XLA:TPU returned all-zero NCC scores when the frame
+    entered the jit as uint8 and was cast in-graph (the convert fused
+    through the region gather into the grouped conv) — matching collapsed
+    to 0 of 549 at M=576 on v5e, r5. ncc_scores now pins the f32 regions
+    behind an optimization barrier; this pins u8-input == f32-input
+    through a jit boundary on every backend, both dispatch paths."""
+    import dataclasses
+
+    import jax
+
+    from cv_monoslam_tpu.config import SlamConfig
+    from cv_monoslam_tpu.frontend.matching import ncc_scores
+
+    rng = np.random.default_rng(7)
+    img_u8 = rng.integers(0, 256, (120, 160), dtype=np.uint8)
+    m = 24
+    cfg = SlamConfig()
+    pm = 2 * cfg.hp_match + 1
+    centers = np.stack([rng.integers(30, 130, m),
+                        rng.integers(30, 90, m)], axis=1).astype(np.int32)
+    # templates cut from the image itself -> strong true matches
+    patches = np.stack([
+        img_u8[v - cfg.hp_match:v + cfg.hp_match + 1,
+               u - cfg.hp_match:u + cfg.hp_match + 1].astype(np.float32)
+        for u, v in centers])
+    for backend in ("xla", "pallas"):
+        c2 = dataclasses.replace(cfg, vision_backend=backend)
+        fn = jax.jit(lambda im, c, p: ncc_scores(
+            im.astype(jnp.float32), c, p, c2)[0])
+        s_u8 = np.asarray(fn(img_u8, jnp.asarray(centers),
+                             jnp.asarray(patches)))
+        s_f32 = np.asarray(fn(img_u8.astype(np.float32),
+                              jnp.asarray(centers), jnp.asarray(patches)))
+        best = s_u8.reshape(m, -1).max(axis=1)
+        assert np.abs(s_u8 - s_f32).max() < 1e-4, backend
+        assert (best > 0.95).all(), (backend, best.min())
