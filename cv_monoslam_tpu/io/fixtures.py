@@ -56,12 +56,14 @@ SPECS = {
     # config 4: loop-closure drift regime (1.25 laps, heading noise)
     "bench4_lap": dict(kind="traj", traj="lap", n=120, seed=0, noise=0.04,
                        step=0.12),
-    # config 3: large-state capacity scenario (grid ceiling, slow arc);
-    # spacing 0.072 m packs ~660 crisp corners into the view footprint so
-    # a 640-slot map can fill past 500 tracked (r5: "500+ landmark SRUKF"
-    # taken literally)
-    "bench3_grid": dict(kind="dense", n=84, seed=0, spacing=0.072,
-                        jitter=0.014, step=0.008),
+    # config 3: large-state capacity scenario (grid ceiling, slow arc).
+    # spacing 0.06 m = ~15.4 px pitch: still outside the +-10 px NCC
+    # search window (no aliasing) and the 10 px min-dist, but dense
+    # enough that GFTT's instantaneous supply exceeds 500 (at 0.072 m
+    # the response-thresholded supply measured only ~430 tracked — the
+    # "~660 in view" geometric count overestimated what GFTT keeps, r5)
+    "bench3_grid": dict(kind="dense", n=84, seed=0, spacing=0.06,
+                        jitter=0.012, step=0.008),
     # parity scenario (config1_parity "loop@0.06")
     "parity_loop": dict(kind="traj", traj="loop", n=105, seed=0, noise=0.0,
                         step=0.06),
