@@ -32,26 +32,23 @@ from ..ops.pallas_vision import ncc_score_map, warp_bilinear
 
 def _use_pallas(cfg: SlamConfig, kernel: str = "warp") -> bool:
     """Data-driven backend dispatch (scripts/bench_kernels.py on TPU v5e,
-    r4, scan-amortized DEVICE time — the r3 numbers this replaces came
-    from a loop whose constant-input body LICM hoisted, timing nothing):
+    r5, scan-amortized DEVICE time):
 
-        ncc   M=32  pallas 0.480 ms | xla 0.538 ms   -> pallas
-        ncc   M=128 pallas 0.846 ms | xla 0.636 ms   -> xla
-        ncc   M=512 pallas 2.293 ms | xla 1.351 ms   -> xla
-        warp  M=32/128/512: pallas 0.42/0.54/1.08 ms vs
-                            xla    0.79/1.96/6.76 ms -> pallas at every M
+        ncc   M=32  pallas 0.427 ms | xla 0.531 ms   -> pallas
+        ncc   M=128 pallas 0.515 ms | xla 0.640 ms   -> pallas
+        ncc   M=512 pallas 0.955 ms | xla 1.391 ms   -> pallas
+        warp  M=512 pallas 1.10 ms  | xla 6.80 ms    -> pallas
 
-    So: warp -> Pallas on TPU at every M; NCC -> Pallas only below
-    M=128, XLA grouped conv from 128 up."""
+    Pallas wins at every M for both kernels since the r5 shifted-FMA
+    NCC rewrite (landmarks-on-lanes, no HBM intermediates) closed the
+    M>=128 deficit the r4 banded formulation carried (its ~27 MB banded
+    RHS was 6x the useful traffic). The XLA paths remain as the CPU/
+    fallback implementations and for A/B measurement."""
     if cfg.vision_backend == "pallas":
         return True
     if cfg.vision_backend == "xla":
         return False
-    if jax.default_backend() != "tpu":
-        return False
-    if kernel == "ncc":
-        return cfg.max_landmarks < 128
-    return True
+    return jax.default_backend() == "tpu"
 
 
 def warp_matrices(state: FilterState, cfg: SlamConfig) -> jnp.ndarray:
