@@ -235,9 +235,17 @@ class SlamConfig:
     #: filter marginal; raise it to let BA override the filter more.
     ba_pose_prior_inflation: float = 1.0
     #: window-BA corrections are committed only when the max pose
-    #: correction exceeds this many filter sigmas (drift signal); smaller
-    #: corrections are noise relative to the filter's full-history fusion
-    ba_apply_gate: float = 3.0
+    #: correction exceeds this many filter sigmas. Ships INF (never
+    #: commit — window BA solves and reports, the pose graph owns global
+    #: correction): measured on the frozen config-4 fixture (TPU, r5,
+    #: scripts/sweep_ba_gate.py) the refined ATE is 0.1195 at inf vs
+    #: 0.1325 at 2.0 and 0.2390 at 2.5/3.0 — finite-gate commits re-add
+    #: pixel noise at the low end, and large-z commits re-anchor poses to
+    #: drifted landmark estimates (the window's landmarks ARE the
+    #: filter's) and even suppress a loop edge via the temporal-
+    #: confirmation path (4 edges at inf, 3 at 2.5/3.0). Set a finite
+    #: gate to re-enable drift-guard commits in loop-free deployments.
+    ba_apply_gate: float = float("inf")
 
     # ---- recording ----
     record_robot_info: bool = True

@@ -115,6 +115,36 @@ def tri_solve(r: jnp.ndarray, b: jnp.ndarray, *, trans: bool = False,
     return jax.scipy.linalg.solve_triangular(r, b, lower=lower)
 
 
+def tri_inv_upper(r: jnp.ndarray, base: int = 32) -> jnp.ndarray:
+    """Explicit inverse of upper-triangular ``r`` by divide-and-conquer:
+
+        inv([[A, B], [0, C]]) = [[A^-1, -A^-1 B C^-1], [0, C^-1]]
+
+    Back-substitution (``triangular_solve``) is a sequential scalar
+    recurrence on both CPU and TPU; above the ``base`` size this
+    restructures all but the leaf solves into matmuls (MXU-shaped, and
+    the two half-size inverses at each level are independent). Measured
+    single-core at n=256: 14x over ``triangular_solve(r, eye)``
+    (PERF.md r5 — it was the dominant per-panel cost of the distributed
+    blocked Cholesky). Backward error matches the solve to f32 eps; the
+    conditioning caveat of any explicit triangular inverse applies
+    unchanged (callers feed equilibrated SPD panel factors)."""
+    n = r.shape[0]
+    if n <= base:
+        return jax.scipy.linalg.solve_triangular(
+            r, jnp.eye(n, dtype=r.dtype), lower=False)
+    m = n // 2
+    ai = tri_inv_upper(r[:m, :m], base)
+    ci = tri_inv_upper(r[m:, m:], base)
+    hp = jax.lax.Precision.HIGHEST
+    top = jnp.concatenate(
+        [ai, -jnp.dot(jnp.dot(ai, r[:m, m:], precision=hp), ci,
+                      precision=hp)], axis=1)
+    bot = jnp.concatenate(
+        [jnp.zeros((n - m, m), r.dtype), ci], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
 def gmw_chol(a: jnp.ndarray) -> jnp.ndarray:
     """Gill-Murray-Wright modified Cholesky: upper-triangular S with
     S^T S = A + E, E a minimal diagonal making A PD — the reference's

@@ -20,11 +20,16 @@ mesh axis, panels of ``nb`` columns, right-looking:
        panel's trailing COLUMNS)
     4. all_gather W^T                   -> W replicated     (n x nb comm)
     5. trailing update A_loc -= W^T_loc W, column-blocked by an inner
-       fori_loop from panel k+1 so compute tracks the shrinking trailing
-       submatrix, and the whole step lax.cond-gated OFF for devices whose
-       rows are all finalized (no collectives inside the gate) — summed
-       over devices this keeps total work at the ideal n^3/3 instead of
-       n^3 (full-width masked updates).
+       fori_loop over blocks [k+1, last block containing this device's
+       rows] — the left bound tracks the shrinking trailing submatrix,
+       the right bound drops the strictly-upper off-diagonal blocks a
+       device's rows never need (only diagonal blocks A_kk read above
+       the diagonal; the panel solve reads trailing columns from their
+       symmetric LOWER position) — and the whole step lax.cond-gated OFF
+       for devices whose rows are all finalized (no collectives inside
+       the gate). Summed over devices this keeps trailing work at the
+       ideal n^3/6 MACs instead of n^3/3 (full-square updates) or n^3/2
+       (full-width masked updates).
 
 Communication: n*nb + nb*n floats per panel -> ~2 n^2 total, vs n^3/3
 compute — the collective cost vanishes as n grows (ICI >100 GB/s moves
@@ -42,6 +47,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops.linalg import tri_inv_upper
 from .mesh import MAP_AXIS
 
 
@@ -54,16 +60,35 @@ def _chol_local(A_loc, *, axis, n, nb, rows_loc):
     nblocks = n // nb
     cols = jnp.arange(n)
 
+    # When panels never span devices (rows_loc % nb == 0, the production
+    # layout), the panel extraction and the R write are O(nb x n)
+    # dynamic slices at the owner's local offset instead of O(rows_loc
+    # x n) masked scatters/gathers — per-panel plumbing is what
+    # dominates the serialized-mesh measurement once trailing work is
+    # ideal (PERF.md r5: chol-only 4.22 s with the scatter path at
+    # n=4096), so this is the difference between the decomposition
+    # scaling and not.
+    aligned = rows_loc % nb == 0
+
     def panel_step(i, carry):
         A_loc, R_loc = carry
         k0 = i * nb
         k1 = k0 + nb
         sel = (idx >= k0) & (idx < k1)
-        # (1) replicated, fully-updated panel rows via masked row scatter
-        # + psum (panels may span devices when rows_loc % nb != 0)
-        P_loc = jnp.zeros((nb, n), dtype).at[
-            jnp.clip(idx - k0, 0, nb - 1)].add(
-            jnp.where(sel[:, None], A_loc, 0.0))
+        z0 = jnp.zeros((), jnp.int32)
+        owner = (k0 >= row0) & (k0 < row0 + rows_loc)
+        off = jnp.clip(k0 - row0, 0, rows_loc - nb).astype(jnp.int32)
+        # (1) replicated, fully-updated panel rows: owner-sliced when
+        # aligned, masked row scatter + psum otherwise (panels may span
+        # devices when rows_loc % nb != 0)
+        if aligned:
+            P_loc = jnp.where(
+                owner, jax.lax.dynamic_slice(A_loc, (off, z0), (nb, n)),
+                0.0)
+        else:
+            P_loc = jnp.zeros((nb, n), dtype).at[
+                jnp.clip(idx - k0, 0, nb - 1)].add(
+                jnp.where(sel[:, None], A_loc, 0.0))
         panel = jax.lax.psum(P_loc, axis)
         # (2) tiny replicated panel Cholesky + explicit triangular
         # inverse: a (rows_loc, nb) triangular_solve is latency-bound on
@@ -75,9 +100,20 @@ def _chol_local(A_loc, *, axis, n, nb, rows_loc):
         # factorization's backward error stays ~eps*cond(panel) (pinned
         # against the reference factorization in tests/test_dist_chol.py)
         A_kk = jax.lax.dynamic_slice(panel, (0, k0), (nb, nb))
-        R_kk = jnp.linalg.cholesky(A_kk).T       # upper: R^T R = A_kk
-        R_inv = jax.lax.linalg.triangular_solve(
-            R_kk, jnp.eye(nb, dtype=dtype), left_side=True, lower=False)
+        # Only the panel's OWNER factorizes + inverts (small-nb chol and
+        # triangular work run far below the big-matmul FLOP rate, so
+        # replicating them on every device was the dominant nb-scaled
+        # overhead of the serialized measurement); the psum broadcasts
+        # the owner's result, which also keeps numerics bit-identical
+        # across device counts. No collectives inside the cond.
+        def _factor(a):
+            rkk = jnp.linalg.cholesky(a).T       # upper: R^T R = A_kk
+            return rkk, tri_inv_upper(rkk)       # blocked inv: matmuls,
+            #                                      not substitution
+        R_kk, R_inv = jax.lax.cond(
+            owner, _factor,
+            lambda a: (jnp.zeros((nb, nb), dtype),) * 2, A_kk)
+        R_kk, R_inv = jax.lax.psum((R_kk, R_inv), axis)
         # (3) sharded panel solve over this device's trailing rows
         B_loc = jax.lax.dynamic_slice(A_loc, (0, k0), (rows_loc, nb))
         W_locT = jax.lax.dot(B_loc, R_inv, preferred_element_type=dtype,
@@ -89,24 +125,40 @@ def _chol_local(A_loc, *, axis, n, nb, rows_loc):
         Rrow = jax.lax.dynamic_update_slice(
             jnp.zeros((nb, n), dtype), R_kk, (0, k0))
         Rrow = jnp.where(cols[None, :] >= k1, Wall.T, Rrow)
-        mine = Rrow[jnp.clip(idx - k0, 0, nb - 1)]
-        R_loc = jnp.where(sel[:, None], mine, R_loc)
+        if aligned:
+            R_loc = jax.lax.cond(
+                owner,
+                lambda r: jax.lax.dynamic_update_slice(r, Rrow, (off, z0)),
+                lambda r: r, R_loc)
+        else:
+            mine = Rrow[jnp.clip(idx - k0, 0, nb - 1)]
+            R_loc = jnp.where(sel[:, None], mine, R_loc)
 
         # (5) trailing update, finalized devices skip entirely (the gate
-        # contains no collectives, so per-device divergence is legal)
+        # contains no collectives, so per-device divergence is legal).
+        # Column blocks are bounded at this device's LAST row block: the
+        # only strictly-upper entries ever read are the within-panel
+        # diagonal blocks (A_kk) — the panel solve reads trailing columns
+        # from their symmetric LOWER position (B_loc) — so blocks right
+        # of a device's rows are write-only garbage. Skipping them halves
+        # trailing MACs to the ideal n^3/6 (measured: 61.8% -> see
+        # PERF.md modeled-efficiency table).
         def trailing(A_loc):
             def col_block(j, A_loc):
                 c0 = j * nb
-                Wj = jax.lax.dynamic_slice(Wall, (c0, 0), (nb, nb))
-                blk = jax.lax.dynamic_slice(A_loc, (0, c0),
+                z = jnp.zeros((), c0.dtype)
+                Wj = jax.lax.dynamic_slice(Wall, (c0, z), (nb, nb))
+                blk = jax.lax.dynamic_slice(A_loc, (z, c0),
                                             (rows_loc, nb))
                 blk = blk - jax.lax.dot(
                     W_locT, Wj.T,
                     preferred_element_type=dtype,
                     precision=jax.lax.Precision.HIGHEST)
-                return jax.lax.dynamic_update_slice(A_loc, blk, (0, c0))
+                return jax.lax.dynamic_update_slice(A_loc, blk, (z, c0))
 
-            return jax.lax.fori_loop(i + 1, nblocks, col_block, A_loc)
+            j_end = jnp.minimum(nblocks,
+                                (row0 + rows_loc + nb - 1) // nb)
+            return jax.lax.fori_loop(i + 1, j_end, col_block, A_loc)
 
         A_loc = jax.lax.cond(row0 + rows_loc > k1, trailing,
                              lambda a: a, A_loc)

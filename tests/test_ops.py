@@ -173,3 +173,19 @@ def test_update_sequential_multi_match_stays_bounded():
     p0 = np.asarray(s0s.S.T @ s0s.S)
     ps = np.asarray(ss.S.T @ ss.S)
     assert np.trace(ps) < 10 * np.trace(p0)
+
+
+@pytest.mark.parametrize("n", [16, 96, 256, 260])
+def test_tri_inv_upper_matches_solve(n):
+    """Blocked divide-and-conquer triangular inverse == direct solve
+    (used by parallel/dist_chol.py for the panel factor inverse; the
+    non-power-of-two case exercises the uneven split)."""
+    from cv_monoslam_tpu.ops.linalg import tri_inv_upper
+
+    rng = np.random.default_rng(3)
+    g = rng.normal(size=(n, n))
+    r = np.linalg.cholesky(g @ g.T + n * np.eye(n)).T
+    ri = np.asarray(tri_inv_upper(jnp.asarray(r)))
+    np.testing.assert_allclose(ri @ r, np.eye(n), atol=1e-5)
+    # stays upper triangular
+    assert np.allclose(np.tril(ri, -1), 0.0)
